@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the registered headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing protocol (BASELINE.md): wall-clock around a forcing count() on the
+result, median of N_RUNS after one warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from grocery_store_sales_forecasting_etl_pipeline_spark import plans
+from grocery_store_sales_forecasting_etl_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# headline set: one per operator family; None = bench everything registered
+HEADLINE = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if os.environ.get(
+    "SPARK_GRAFT_BENCH_QUERIES"
+) else None
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name  # e.g. sf0.1
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def time_query(spark, build, sf_dir: str) -> float:
+    build(spark, sf_dir).count()  # warm-up (also JIT + file listing cache)
+    runs = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        build(spark, sf_dir).count()
+        runs.append(time.perf_counter() - t0)
+    return statistics.median(runs)
+
+
+def main() -> None:
+    spark = get_spark(app_name="engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = HEADLINE or sorted(plans.REGISTRY)
+    timings: dict[str, float] = {}
+    for name in names:
+        q = plans.REGISTRY.get(name)
+        if q is None:
+            continue
+        timings[name] = round(time_query(spark, q.build, SF_DIR), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "n_queries": len(timings),
+                "runs_per_query": N_RUNS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

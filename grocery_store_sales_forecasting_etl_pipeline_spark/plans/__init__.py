@@ -1,0 +1,30 @@
+"""Registered engine queries (driver correctness/bench surface).
+
+Every operator family from SURVEY.md §2 — plus the training-data-pipeline
+extensions (dedup, similarity, text analysis) — is exposed as a named query
+with (a) a PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame`` and
+(b) where SQL-expressible, an equivalent DuckDB oracle SQL string over the
+same parquet tables.
+
+Import order matters only in that each module populates the shared REGISTRY
+at import time.
+"""
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
+    REGISTRY,
+    RegisteredQuery,
+    oracle_sql_map,
+    queries_map,
+    register,
+)
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import simops  # noqa: F401
+
+__all__ = [
+    "REGISTRY",
+    "RegisteredQuery",
+    "register",
+    "queries_map",
+    "oracle_sql_map",
+]
