@@ -18,6 +18,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
     register,
 )
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational2  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import simops  # noqa: F401
 
