@@ -1,0 +1,122 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (split /
+transform / aggregate / md5 …) — no Python UDFs — so text scoring over
+100 TB of documents stays inside whole-stage codegen with zero
+serialization to Python. Each function returns a Column usable in any
+select/agg.
+
+Design sources: standard published heuristics (stopword/length/ratio
+quality signals as in Gopher/C4-style filtering; shingle fingerprints per
+Broder's MinHash paper; SimHash per Charikar) — implementations original,
+Spark-first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# small, fixed marker lists for the language-ID heuristic (presence-based,
+# deterministic; mirrors classic stopword-profile langid)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de5", "shi4", "zai4", "le5", "he2"),  # romanized markers
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "in", "to", "it")
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (single-space split — documents are
+    pre-normalized; use ``tokens_ws`` for arbitrary whitespace)."""
+    return F.split(col, " ")
+
+
+def tokens_ws(col: str | Column) -> Column:
+    """Tokenize on runs of arbitrary whitespace."""
+    return F.split(F.trim(col), "\\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def distinct_token_count(col: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def shingles(col: str | Column, k: int = 2) -> Column:
+    """Distinct word k-gram shingles. 1-indexed transform so the same
+    expression is writable in ANSI SQL (element_at semantics)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(gram)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    whitespace-collapsed text. Stable across engines (md5 is md5)."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+    return F.md5(normalized)
+
+
+def fingerprint_bucket(col: str | Column, bits: int = 32) -> Column:
+    """Integer bucket from the fingerprint's leading hex digits — for
+    partitioning/bucketing a 100 TB dedup shuffle by fingerprint prefix."""
+    return F.conv(F.substring(fingerprint(col), 1, bits // 4), 16, 10).cast("long")
+
+
+def stopword_hits(col: str | Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    """How many of the marker stopwords occur in the text (presence, not
+    frequency — deterministic and cheap: one array_contains per word)."""
+    t = F.array_distinct(tokens(col))
+    hit = None
+    for wrd in words:
+        h = F.array_contains(t, wrd).cast("int")
+        hit = h if hit is None else hit + h
+    return hit.cast("long")
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite document-quality score in [0,1] from public filtering
+    heuristics: length band, mean word length band, stopword presence,
+    vocabulary diversity. Deterministic; SQL-expressible."""
+    n_tok = token_count(col)
+    n_char = F.length(col).cast("double")
+    mean_word_len = F.round(n_char / n_tok, 4)
+    diversity = F.round(distinct_token_count(col) / n_tok, 4)
+    len_ok = (n_tok >= F.lit(20)) & (n_tok <= F.lit(1000))
+    word_len_ok = (mean_word_len >= 3.0) & (mean_word_len <= 12.0)
+    has_stop = stopword_hits(col) >= 2
+    return F.round(
+        len_ok.cast("double") * 0.3
+        + word_len_ok.cast("double") * 0.2
+        + has_stop.cast("double") * 0.2
+        + F.least(diversity * F.lit(2.0), F.lit(1.0)) * 0.3,
+        4,
+    )
+
+
+def langid(col: str | Column) -> Column:
+    """Marker-presence language ID: score each language by how many of
+    its marker words appear; argmax with deterministic tie order (markers
+    dict order), 'und' when no marker hits."""
+    t = F.array_distinct(tokens(col))
+    scores = {
+        lang: sum(F.array_contains(t, w).cast("int") for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier dict entries win ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)

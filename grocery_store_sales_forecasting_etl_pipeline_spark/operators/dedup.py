@@ -1,0 +1,208 @@
+"""Deduplication operators: exact, keyed, n-gram Jaccard, MinHash-LSH,
+SimHash (SURVEY.md §7 step 6 — training-data-pipeline core).
+
+Scale design
+------------
+- Exact dedup: hash-groupBy on an md5 fingerprint — one shuffle keyed by
+  the fingerprint, arbitrarily parallel; survivor = min(id)
+  (deterministic).
+- Jaccard: shingle-explode + equi-join on (block, shingle). The blocking
+  column bounds the join fan-out; at 100 TB you block on a coarse
+  partition (source/domain/date) or on LSH bands (below) — never an
+  unblocked token join.
+- MinHash-LSH: md5-keyed minimum per permutation seed (Broder), banded
+  into buckets (one shuffle per stage); candidate pairs only form inside
+  a bucket, turning O(n²) into O(Σ bucket²).
+- SimHash: per-token 64-bit hash, sign-aggregated per bit (Charikar);
+  entirely JVM expression trees, no Python.
+
+All hashing is md5-based so results are engine-portable (the DuckDB
+oracles compute the identical signatures in SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.functions import text as T
+
+
+def dedup_keyed(df: DataFrame, keys: Sequence[str], order_by: Sequence | None = None) -> DataFrame:
+    """Reference D1 (`dropDuplicates(keys)`, silver_processing.py.py:16)
+    with an optional deterministic survivor order. Without ``order_by``
+    falls through to Spark's arbitrary-survivor dropDuplicates (cheapest:
+    partial map-side dedup before the shuffle)."""
+    if order_by is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def exact_text_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup groups: normalize → md5 fingerprint → group.
+    Returns (fingerprint, keep_id, n_dups) — keep_id = min id survives."""
+    return (
+        df.select(T.fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Drop exact-content duplicates, keeping the min-id row per
+    fingerprint group."""
+    w = Window.partitionBy(T.fingerprint(text_col)).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, block_cols: Sequence[str]
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(T.shingles(text_col, k)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    threshold: float = 0.8,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard similarity ≥ threshold.
+
+    Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard rounded 4dp.
+    ``block_cols`` restrict candidate pairs to equal blocks — mandatory at
+    scale (see module docstring).
+    """
+    sh = _shingle_rows(df, id_col, text_col, k, block_cols)
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.shingle") == F.col("b.shingle")
+    )
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def _minhash_col(seed: int) -> Column:
+    """One MinHash 'permutation': lexicographic min of md5(seed:shingle).
+    md5 is uniform, so min-over-md5 ranks shingles in an effectively
+    random, seed-dependent order — the classic hash-min estimator."""
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, n_hashes: int = 8
+) -> DataFrame:
+    """Per-document MinHash signature: (id, mh_0 … mh_{n-1}).
+    One explode + one groupBy — a single shuffle keyed by id."""
+    sh = _shingle_rows(df, id_col, text_col, k, ())
+    return sh.groupBy(id_col).agg(
+        *[_minhash_col(i).alias(f"mh_{i}") for i in range(n_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature to a bucket, emit
+    distinct candidate pairs sharing any band bucket.
+
+    Two shuffles (band explode → bucket groupBy-join; pair distinct).
+    Bucket join is self-equi-join on (band_idx, band_hash), so cost is
+    Σ bucket_size² — tune n_hashes/band_size for the similarity floor
+    you care about (P(candidate) = 1-(1-j^band_size)^n_bands).
+    """
+    n_bands = n_hashes // band_size
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"mh_{bi * band_size + j}") for j in range(band_size)],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+        )
+        .distinct()
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document (Charikar sign-aggregation over
+    per-token md5 bits), emitted as (id, simhash) with simhash as long.
+
+    Plan shape: explode tokens → explode 32 (bit, ±1) pairs (arrays built
+    by JVM ``transform``) → groupBy(id) summing per-bit signs via
+    conditional aggregation → reassemble the integer. One shuffle.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(T.tokens(text_col))).alias("tok")
+    )
+    # nibble n of md5 hex → 4 bits; bit index b in 0..31
+    bit_cols = []
+    for b in range(32):
+        nibble = F.conv(F.substring(F.md5("tok"), 1 + b // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, 3 - (b % 4)).bitwiseAND(F.lit(1))
+        bit_cols.append(F.sum(bit * 2 - 1).alias(f"s_{b}"))
+    sums = tok.groupBy(id_col).agg(*bit_cols)
+    out = F.lit(0).cast("long")
+    for b in range(32):
+        out = out + F.when(F.col(f"s_{b}") > 0, F.lit(2**(31 - b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col(id_col), out.alias("simhash"))

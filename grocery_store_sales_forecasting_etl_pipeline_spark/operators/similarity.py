@@ -1,0 +1,152 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Baseline: brute-force cosine top-k with the dot product evaluated by JVM
+higher-order functions (``zip_with`` + ``aggregate``) — no Python in the
+hot path, elements promoted to double (float32×float32 products are exact
+in double, so the left-to-right fold is engine-portable).
+
+Scale path: sign-random-projection LSH bucketing (deterministic
+hyperplanes derived from md5, so buckets are reproducible across engines
+and runs). Candidates only pair within a bucket; recall is tuned by
+n_planes (bucket granularity 2^n_planes) and n_tables (independent
+repetitions). At 100 TB the brute-force path is reserved for a broadcast
+query set (each query scans once, map-side only); all-pairs work must go
+through the LSH path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+
+
+def cosine(a: str, b: str) -> Column:
+    """Cosine similarity between two array<float|double> columns."""
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    return F.expr(f"({dot}) / (({na}) * ({nb}))")
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector via broadcast of the
+    query set: (query_id, neighbor_id, cosine_sim), ranked by rounded
+    similarity with neighbor-id tie-break (deterministic).
+
+    The corpus is scanned once; similarity + per-query top-k heap run
+    map-side (window over broadcast-joined rows shuffles only by query
+    id — |queries| partitions of |corpus| rows).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    joined = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    ).crossJoin(F.broadcast(q))
+    scored = joined.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("query_vec", "corpus_vec"), round_to).alias("cosine_sim"),
+    )
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.windows import topk_per_group
+
+    return topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.col("cosine_sim").desc(), F.col("neighbor_id")],
+        k=k,
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — embedding near-dedup.
+    Unblocked this is O(n²): acceptable for ≤10⁵ vectors or within
+    LSH/label blocks; use ``lsh_sign_buckets`` to block first at scale."""
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"), *(
+        [F.col(block_col).alias("blk1")] if block_col else []
+    ))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"), *(
+        [F.col(block_col).alias("blk2")] if block_col else []
+    ))
+    cond = F.col("id_1") < F.col("id_2")
+    if block_col:
+        cond = cond & (F.col("blk1") == F.col("blk2"))
+    return (
+        a.join(b, cond)
+        .select("id_1", "id_2", F.round(cosine("v1", "v2"), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _hyperplane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
+    md5(plane:dim) leading 8 hex digits → uniform u32 → affine map.
+    Reproducible across engines/runs with no RNG state."""
+    u = F.conv(F.substring(F.md5(F.lit(f"{plane}:{dim}")), 1, 8), 16, 10).cast("double")
+    return u / F.lit(float(2**31)) - F.lit(1.0)
+
+
+def lsh_sign_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    table_id: int = 0,
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector: bit p = sign of
+    <v, h_p> with md5-derived hyperplanes. Output (id, bucket) with
+    bucket in [0, 2^n_planes). Pure JVM expressions, one projection pass,
+    no shuffle. ``table_id`` selects an independent plane set."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = table_id * 1000 + p
+        comps = F.array(*[_hyperplane_component(plane, d) for d in range(dim)])
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, __h_{p}, (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        df = df.withColumn(f"__h_{p}", comps).withColumn(f"__s_{p}", (dot > 0).cast("long"))
+    for p in range(n_planes):
+        bucket = bucket + F.col(f"__s_{p}") * F.lit(2**p).cast("long")
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_ann_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    threshold: float = 0.8,
+    n_tables: int = 1,
+) -> DataFrame:
+    """ANN near-dup pairs: LSH-bucket then exact cosine inside buckets.
+
+    Single-table recall for sign-LSH is (1 - θ/π)^n_planes per pair;
+    ``n_tables`` independent plane sets union their candidates (standard
+    multi-table amplification: recall → 1-(1-r)^T) at T× bucketing cost.
+    """
+    out = None
+    for t in range(n_tables):
+        buckets = lsh_sign_buckets(df, id_col, vec_col, n_planes, table_id=t)
+        blocked = df.join(buckets, id_col)
+        pairs = cosine_dup_pairs(blocked, id_col, vec_col, threshold, block_col="bucket")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()

@@ -1,2 +1,105 @@
-"""Similarity-search queries over the ``embeddings`` table
-(training-data-pipeline extensions; populated in later milestones)."""
+"""Similarity-search queries over the ``embeddings`` table: brute-force
+cosine k-NN (exact baseline), embedding near-dup pairs, and LSH-bucketed
+ANN (the scale path, rows-only checked)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators import similarity as sim
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k for a query set
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT
+    q.query_id,
+    e.vec_id AS neighbor_id,
+    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(q.query_vec AS DOUBLE[])), 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@register("cosine_knn", oracle=_KNN_ORACLE, tags=("similarity",))
+def cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 5) —
+    the brute-force ANN baseline (operators/similarity.py:brute_force_knn).
+
+    Scale notes: the query set is broadcast, so the corpus is scanned
+    once map-side; only (n_queries × corpus) similarity rows exist
+    transiently and the per-query top-k shuffles |queries| partitions.
+    Dot products run in JVM higher-order functions on doubles
+    (float32 products are exact in double → engine-portable results).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_knn(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs (cosine threshold)
+# ---------------------------------------------------------------------------
+
+_DUP_PAIRS_ORACLE = """
+SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
+@register("embedding_dup_pairs", oracle=_DUP_PAIRS_ORACLE, tags=("similarity", "dedup"))
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), exact
+    all-pairs — the correctness baseline for embedding dedup.
+
+    Scale notes: all-pairs is O(n²) and acceptable only for ≤10⁵
+    vectors; at 100 TB run ann_lsh_candidates to block first, then this
+    inside buckets (operators/similarity.py:cosine_dup_pairs docstring).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("ann_lsh_candidates", oracle=None, tags=("similarity",))
+def ann_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN: md5-derived deterministic
+    hyperplanes bucket vectors (8 planes → 256 buckets), exact cosine
+    only inside buckets (threshold 0.4).
+
+    Rows-only check (the 8×64 hyperplane expression tree is impractical
+    as hand-written SQL); determinism + recall vs the exact
+    embedding_dup_pairs baseline are pinned by tests/test_similarity.py.
+
+    Scale notes: bucketing is a map-only pass; candidate generation cost
+    is Σ bucket² ≈ n²/2^planes for uniform buckets — tune n_planes to
+    the corpus size, repeat with independent plane sets for recall.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_ann_candidates(emb, n_planes=8, threshold=0.4, n_tables=2)

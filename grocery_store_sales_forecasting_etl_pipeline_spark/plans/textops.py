@@ -1,2 +1,292 @@
-"""Text-analysis / dedup queries over the ``documents`` table
-(training-data-pipeline extensions; populated in later milestones)."""
+"""Text-analysis / dedup queries over the ``documents`` table —
+training-data-pipeline operators (language ID, quality scoring, token
+stats, fingerprinting, exact dedup, n-gram Jaccard, MinHash-LSH,
+SimHash). All md5-keyed so the DuckDB oracles compute identical values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.functions import text as T
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators import dedup as dd
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Token / length statistics + fingerprint
+# ---------------------------------------------------------------------------
+
+_DOC_STATS_ORACLE = """
+WITH t AS (SELECT *, string_split(text, ' ') AS tk FROM documents)
+SELECT
+  doc_id,
+  lang,
+  CAST(length(text) AS BIGINT)                       AS char_len,
+  CAST(len(tk) AS BIGINT)                            AS n_tokens,
+  CAST(len(list_distinct(tk)) AS BIGINT)             AS n_distinct_tokens,
+  round(length(text) * 1.0 / len(tk), 4)             AS mean_token_len,
+  round(len(list_distinct(tk)) * 1.0 / len(tk), 4)   AS diversity,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM t
+"""
+
+
+@register("doc_stats", oracle=_DOC_STATS_ORACLE, tags=("text",))
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting + length stats + md5 fingerprint
+    (training-data text analysis; SURVEY §7 step 6).
+
+    Scale notes: pure JVM string/array expressions fused with the scan —
+    no shuffle at all; this is a map-only pass over 100 TB.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tk = T.tokens("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("char_len"),
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct_tokens"),
+        F.round(F.length("text") / T.token_count("text"), 4).alias("mean_token_len"),
+        F.round(T.distinct_token_count("text") / T.token_count("text"), 4).alias("diversity"),
+        T.fingerprint("text").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality score + language ID (heuristic, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang, words in T.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(CASE WHEN list_contains(dt, '{w}') THEN 1 ELSE 0 END)" for w in words
+        )
+        score_cols.append(f"({hits}) AS s_{lang}")
+    when_chain = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    stop_hits = " + ".join(
+        f"(CASE WHEN list_contains(dt, '{w}') THEN 1 ELSE 0 END)" for w in T.STOPWORDS
+    )
+    greatest = ", ".join(f"s_{lang}" for lang in T.LANG_MARKERS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split(text, ' ') AS tk,
+         list_distinct(string_split(text, ' ')) AS dt
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, tk, dt,
+         {", ".join(score_cols)},
+         CAST(({stop_hits}) AS BIGINT) AS stopword_hits
+  FROM t
+),
+best AS (
+  SELECT *, greatest({greatest}) AS best FROM scored
+)
+SELECT
+  doc_id,
+  lang AS labeled_lang,
+  CASE WHEN best = 0 THEN 'und' {when_chain} ELSE 'und' END AS detected_lang,
+  stopword_hits,
+  round(
+    (CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.3
+    + (CASE WHEN round(length(text) * 1.0 / len(tk), 4) BETWEEN 3.0 AND 12.0
+       THEN 1.0 ELSE 0.0 END) * 0.2
+    + (CASE WHEN stopword_hits >= 2 THEN 1.0 ELSE 0.0 END) * 0.2
+    + least(round(len(list_distinct(tk)) * 1.0 / len(tk), 4) * 2.0, 1.0) * 0.3,
+  4) AS quality_score
+FROM best
+"""
+
+
+@register("doc_quality_langid", oracle=_langid_sql(), tags=("text",))
+def doc_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-word presence argmax) + composite
+    quality score (length band, word-length band, stopword presence,
+    vocabulary diversity) per document.
+
+    Scale notes: map-only JVM expressions; the marker lists compile to
+    array_contains chains inside codegen — no UDF, no shuffle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.langid("text").alias("detected_lang"),
+        T.stopword_hits("text").alias("stopword_hits"),
+        T.quality_score("text").alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-content dedup groups
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+  min(doc_id)  AS keep_id,
+  count(*)     AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("doc_exact_dedup", oracle=_EXACT_DEDUP_ORACLE, tags=("text", "dedup"))
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup groups: md5(normalized text) → (keep_id =
+    min doc_id, group size).
+
+    Scale notes: one shuffle keyed by fingerprint; map-side partial
+    aggregation collapses local duplicates before the exchange.
+    """
+    return dd.exact_text_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (blocked by source)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i + 1]))) AS shingle
+  FROM t
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       round(inter * 1.0 / (s1.sz + s2.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON id_1 = s1.doc_id
+JOIN sizes s2 ON id_2 = s2.doc_id
+WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 4) >= 0.08
+"""
+
+
+@register("doc_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("text", "dedup"))
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-bigram Jaccard ≥ 0.08, candidate
+    pairs blocked to equal ``source`` (operators/dedup.py:jaccard_pairs).
+
+    Scale notes: the blocking column bounds the shingle join fan-out —
+    unblocked token joins on a 100 TB corpus are quadratic; block on a
+    coarse partition or LSH bands (doc_minhash_lsh) instead.
+    """
+    return dd.jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        k=2,
+        threshold=0.08,
+        block_cols=("source",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_SIZE = 2
+
+
+def _minhash_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(_N_HASHES)
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_idx, md5({concat}) AS band_hash FROM sig".format(
+            bi=bi,
+            concat=" || '|' || ".join(
+                f"mh_{bi * _BAND_SIZE + j}" for j in range(_BAND_SIZE)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i + 1]))) AS shingle
+  FROM t
+),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+"""
+
+
+@register("doc_minhash_lsh", oracle=_minhash_sql(), tags=("text", "dedup"))
+def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 hashes) + banded LSH (bands of 2) candidate pairs over
+    word-bigram shingles — md5-keyed so the signature is engine-portable
+    (operators/dedup.py:minhash_signatures/lsh_candidate_pairs).
+
+    Scale notes: two shuffles (signature groupBy; band bucket join).
+    Candidate cost is Σ bucket², never n² — this is the 100 TB dedup
+    path, with doc_ngram_jaccard as the in-bucket verifier.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, "doc_id", "text", k=2, n_hashes=_N_HASHES)
+    return dd.lsh_candidate_pairs(sigs, "doc_id", n_hashes=_N_HASHES, band_size=_BAND_SIZE)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for b in range(32):
+        pos = 1 + b // 4
+        shift = 3 - (b % 4)
+        sums.append(
+            f"sum(CASE WHEN (('0x' || substr(md5(tok), {pos}, 1))::INT >> {shift}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) AS s_{b}"
+        )
+    rebuild = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN CAST({2 ** (31 - b)} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+bits AS (SELECT doc_id, {", ".join(sums)} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({rebuild} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@register("doc_simhash", oracle=_simhash_sql(), tags=("text", "dedup"))
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from per-token md5 bits (Charikar
+    sign aggregation) — near-dup docs land at small Hamming distance
+    (operators/dedup.py:simhash32).
+
+    Scale notes: one shuffle (groupBy doc over exploded token bits);
+    the 32 per-bit sign sums are conditional aggregates in a single
+    hash-aggregate pass.
+    """
+    return dd.simhash32(_t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,50 @@
+"""LSH ANN quality checks: determinism + recall against the exact
+all-pairs baseline (rows-only queries can't be oracle-checked, so their
+semantics are pinned here)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators import similarity as sim
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+
+
+def test_lsh_buckets_deterministic(spark, sf_smoke):
+    emb = _t(spark, sf_smoke, "embeddings")
+    b1 = {r.vec_id: r.bucket for r in sim.lsh_sign_buckets(emb, n_planes=8).collect()}
+    b2 = {r.vec_id: r.bucket for r in sim.lsh_sign_buckets(emb, n_planes=8).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_lsh_candidates_subset_of_exact_pairs(spark, sf_smoke):
+    emb = _t(spark, sf_smoke, "embeddings")
+    exact = {
+        (r.id_1, r.id_2)
+        for r in sim.cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_1, r.id_2)
+        for r in sim.lsh_ann_candidates(emb, n_planes=4, threshold=0.4, n_tables=4).collect()
+    }
+    # candidates pass the same cosine threshold, so they must be a subset
+    assert approx <= exact
+    # sign-LSH with few planes must keep decent recall on 0.4+ pairs
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.3, f"LSH recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_knn_self_excluded_and_k_bounded(spark, sf_smoke):
+    emb = _t(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    knn = sim.brute_force_knn(emb, queries, k=4).collect()
+    by_q: dict[int, list] = {}
+    for r in knn:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.cosine_sim)
+    assert set(by_q) == {0, 1, 2}
+    for sims in by_q.values():
+        assert len(sims) == 4
+        assert sims == sorted(sims, reverse=True)
