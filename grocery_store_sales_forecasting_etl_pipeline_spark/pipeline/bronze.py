@@ -1,0 +1,85 @@
+"""Bronze ingestion (reference bronze_ingestion.py.py:50-139).
+
+Declares the six Kaggle-shaped source schemas verbatim (SURVEY.md §1) and
+ingests each CSV to ``raw.<name>`` with corrupt-record quarantine to
+``logs.quarantine`` — the OSS replacement for badRecordsPath (S3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.sources.csv_ingest import ingest_csv
+
+
+def _s(*fields: tuple[str, type]) -> StructType:
+    return StructType([StructField(n, t(), True) for n, t in fields])
+
+
+# reference bronze_ingestion.py.py:52-91 (schemas are load-bearing: dates
+# arrive as strings and are parsed downstream)
+STORES_SCHEMA = _s(
+    ("store_nbr", IntegerType),
+    ("city", StringType),
+    ("state", StringType),
+    ("type", StringType),
+    ("cluster", IntegerType),
+)
+SAMPLE_SUBMISSION_SCHEMA = _s(("id", IntegerType), ("sales", DoubleType))
+OIL_SCHEMA = _s(("date", StringType), ("dcoilwtico", DoubleType))
+HOLIDAYS_EVENTS_SCHEMA = _s(
+    ("date", StringType),
+    ("type", StringType),
+    ("locale", StringType),
+    ("locale_name", StringType),
+    ("description", StringType),
+    ("transferred", StringType),
+)
+TRANSACTIONS_SCHEMA = _s(
+    ("date", StringType),
+    ("store_nbr", IntegerType),
+    ("transactions", IntegerType),
+)
+TEST_SCHEMA = _s(
+    ("id", IntegerType),
+    ("date", StringType),
+    ("store_nbr", IntegerType),
+    ("family", StringType),
+    ("onpromotion", IntegerType),
+)
+
+# (name, schema, partitioned-by-date) — reference bronze_ingestion.py.py:95-139
+SOURCES: tuple[tuple[str, StructType, bool], ...] = (
+    ("stores", STORES_SCHEMA, False),
+    ("sample_submission", SAMPLE_SUBMISSION_SCHEMA, False),
+    ("oil", OIL_SCHEMA, True),
+    ("holidays_events", HOLIDAYS_EVENTS_SCHEMA, True),
+    ("transactions", TRANSACTIONS_SCHEMA, True),
+    ("test", TEST_SCHEMA, True),
+)
+
+QUARANTINE_TABLE = "logs.quarantine"
+
+
+def run(spark: SparkSession, source_dir: str) -> dict[str, tuple[int, int]]:
+    """Ingest every source CSV under ``source_dir`` (``<name>.csv``) to
+    ``raw.<name>``. Returns {name: (clean_rows, quarantined_rows)}.
+    Missing files raise (and are error-logged), matching the reference's
+    fail-visibly behavior."""
+    results = {}
+    for name, schema, by_date in SOURCES:
+        results[name] = ingest_csv(
+            spark,
+            path=f"{source_dir}/{name}.csv",
+            schema=schema,
+            table=f"raw.{name}",
+            quarantine_table=QUARANTINE_TABLE,
+            partition_by_date=by_date,
+        )
+    return results

@@ -15,10 +15,11 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from grocery_store_sales_forecasting_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="engine-tests")
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(app_name="engine-tests", warehouse_dir=warehouse)
     yield spark
     spark.stop()
 
