@@ -1,0 +1,205 @@
+"""Multimodal (image/audio/video) column support.
+
+Design: media travel as opaque ``binary`` columns plus typed metadata
+(mime, byte length, content hash) — the lakehouse-standard layout for
+training-data pipelines. The Spark-side plumbing (schemas, metadata
+extraction, Arrow-batched decode, frame slicing, feature extraction) is
+real and tested; the pixel/sample DECODERS are import-gated because this
+container ships no image/audio libraries: with PIL/soundfile installed
+the real decoder runs, otherwise a clearly-marked deterministic fake (or
+NotImplementedError in strict mode) stands in.
+
+Scale notes
+-----------
+- metadata extraction (mime sniff, md5, length) is pure JVM expressions —
+  map-only over 100 TB of blobs, no Python.
+- decode/feature extraction uses ``mapInPandas`` so bytes cross to Python
+  once per Arrow batch (not per row); batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` — size it so
+  batch_rows × max_blob_bytes fits executor memory.
+- ``spark.read.format("binaryFile")`` is the ingestion source for blob
+  dirs (path, modificationTime, length, content).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# magic-byte prefixes → mime (hex-uppercase as produced by F.hex)
+_MAGIC = (
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),  # RIFF container (wav/avi; audio default)
+    ("664C6143", "audio/flac"),
+)
+
+MEDIA_META_COLS = ("media_len", "media_md5", "media_mime")
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Blob ingestion: (path, modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed metadata columns from a binary column — JVM-only: byte
+    length, md5 content hash, magic-byte mime sniff."""
+    prefix = F.hex(F.substring(F.col(content_col), 1, 8))
+    mime = F.lit("application/octet-stream")
+    for magic, m in reversed(_MAGIC):
+        mime = F.when(prefix.startswith(magic), F.lit(m)).otherwise(mime)
+    return (
+        df.withColumn("media_len", F.length(F.col(content_col)).cast("long"))
+        .withColumn("media_md5", F.md5(F.col(content_col)))
+        .withColumn("media_mime", mime)
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    frame_bytes: int = 1024,
+    every_n: int = 10,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Fixed-stride frame sampling for fixed-frame-size video blobs,
+    entirely JVM-side: each output row is (source row, frame_idx,
+    frame binary) via substring-on-binary + posexplode. No Python."""
+    idx = F.sequence(F.lit(0), F.lit(max_frames - 1))
+    frames = F.transform(
+        idx,
+        lambda i: F.substring(
+            F.col(content_col), i * every_n * frame_bytes + 1, frame_bytes
+        ),
+    )
+    exploded = df.withColumn("__frames", frames).select(
+        "*", F.posexplode("__frames").alias("frame_idx", "frame")
+    )
+    return exploded.filter(F.length("frame") > 0).drop("__frames")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched decode / feature extraction (the Python boundary)
+# ---------------------------------------------------------------------------
+
+DECODED_SCHEMA_FIELDS = [
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_channels", LongType()),
+]
+
+
+def _fake_decode(data: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decoder (container has no image libs):
+    derives a plausible (width, height, channels) from the content hash.
+    CLEARLY A FAKE — replace by the PIL path in real deployments."""
+    import hashlib
+
+    h = hashlib.md5(data).digest()
+    return (64 + h[0] % 192, 64 + h[1] % 192, 3)
+
+
+def _real_decode(data: bytes) -> tuple[int, int, int]:
+    from io import BytesIO
+
+    from PIL import Image  # noqa: PLC0415 — import-gated on purpose
+
+    with Image.open(BytesIO(data)) as im:
+        return (im.width, im.height, len(im.getbands()))
+
+
+def decode_images(
+    df: DataFrame,
+    content_col: str = "content",
+    strict: bool = False,
+    decoder: Callable[[bytes], tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """Image decode via ``mapInPandas``: appends (width, height,
+    n_channels). Decoder resolution: explicit ``decoder`` arg → PIL if
+    importable → deterministic fake (or NotImplementedError when
+    ``strict``)."""
+    import pandas as pd
+
+    out_schema = StructType(list(df.schema.fields) + DECODED_SCHEMA_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder
+        if dec is None:
+            try:
+                import PIL  # noqa: F401
+
+                dec = _real_decode
+            except ImportError:
+                if strict:
+                    raise NotImplementedError(
+                        "no image decoder available: install PIL or pass decoder="
+                    )
+                dec = _fake_decode
+        for pdf in batches:
+            dims = [dec(bytes(b)) for b in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["width"] = [d[0] for d in dims]
+            pdf["height"] = [d[1] for d in dims]
+            pdf["n_channels"] = [d[2] for d in dims]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def byte_histogram_features(
+    df: DataFrame, content_col: str = "content", n_bins: int = 64
+) -> DataFrame:
+    """L1-normalized byte-value histogram feature vector per blob — a
+    real, deterministic featurizer (numpy bincount in Arrow batches),
+    the plumbing template for embedding extractors."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("features", ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[
+                    :n_bins
+                ].astype("float64")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).astype("float32").tolist())
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_media_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic binary blobs from a text column (UTF-8 bytes with a
+    fake RIFF header) — lets the multimodal plumbing run against the
+    driver's text-only test tables."""
+    content = F.concat(
+        F.unhex(F.lit("52494646")),  # RIFF magic
+        F.encode(F.col(text_col), "UTF-8"),
+    )
+    return df.select(F.col(id_col), content.alias("content"))

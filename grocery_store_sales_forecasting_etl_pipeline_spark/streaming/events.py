@@ -1,0 +1,126 @@
+"""Streaming operators over the events stream.
+
+Source: parquet file stream of (event_id, ts, user_id, event_type, value,
+props). The same transformations run identically on a static frame —
+Structured Streaming's unified-API property — so each operator takes any
+DataFrame (batch or streaming) and the tests validate stream output
+against the batch run of the same plan.
+
+Scale notes: every streaming agg here declares a watermark so state is
+bounded (late rows beyond the watermark are dropped, emitted windows are
+finalized and evicted). Stateful shuffles key by (window/session, group)
+— the same partitioning rules as batch apply.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# explicit source schema — streaming reads never infer; ts arrives as
+# nanosecond epoch (see plans/_tables.py) and is rebuilt to a timestamp
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a parquet events directory (S1-analog for
+    streams). ``max_files_per_trigger`` bounds micro-batch size (and
+    makes availableNow run several batches, advancing the watermark
+    between them)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) window counts/sums per event_type with a
+    watermark bounding state (late rows beyond it dropped)."""
+    df = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        df.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: state holds keys for `watermark` of event
+    time (the silver dedup D1 expressed as a stream; SURVEY.md §2.12)."""
+    return events.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
+
+
+def sessionize(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session aggregation with a dynamic-gap session window:
+    events closer than ``gap`` merge into one session. Works identically
+    on static frames (the plans/ oracle checks it in batch mode)."""
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, result: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain all available input through the streaming plan into an
+    in-memory table (test/debug sink): trigger=availableNow, blocking."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

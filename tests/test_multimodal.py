@@ -1,0 +1,76 @@
+"""Multimodal plumbing tests: binary ingestion, JVM metadata/mime sniff,
+Arrow-batched decode (fake + injected decoders), frame sampling, byte
+histogram features."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.functions import multimodal as mm
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+JPG = b"\xff\xd8\xff\xe0" + b"\x01" * 100
+WAV = b"RIFF" + b"\x02" * 2048
+
+
+@pytest.fixture(scope="module")
+def blob_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("blobs")
+    (d / "a.png").write_bytes(PNG)
+    (d / "b.jpg").write_bytes(JPG)
+    (d / "c.wav").write_bytes(WAV)
+    return str(d)
+
+
+def test_binary_ingest_and_metadata(spark, blob_dir):
+    df = mm.with_media_metadata(mm.read_binary_dir(spark, blob_dir))
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert rows["a.png"].media_mime == "image/png"
+    assert rows["b.jpg"].media_mime == "image/jpeg"
+    assert rows["c.wav"].media_mime == "audio/wav"
+    assert rows["c.wav"].media_len == len(WAV)
+    import hashlib
+
+    assert rows["a.png"].media_md5 == hashlib.md5(PNG).hexdigest()
+
+
+def test_decode_fake_deterministic(spark, blob_dir):
+    df = mm.read_binary_dir(spark, blob_dir)
+    out1 = {r.path: (r.width, r.height, r.n_channels) for r in mm.decode_images(df).collect()}
+    out2 = {r.path: (r.width, r.height, r.n_channels) for r in mm.decode_images(df).collect()}
+    assert out1 == out2
+    assert all(w >= 64 and h >= 64 and c == 3 for w, h, c in out1.values())
+
+
+def test_decode_injected_decoder(spark, blob_dir):
+    df = mm.read_binary_dir(spark, blob_dir)
+    out = mm.decode_images(df, decoder=lambda b: (len(b), 1, 1)).collect()
+    assert {r.width for r in out} == {len(PNG), len(JPG), len(WAV)}
+
+
+def test_frame_sampling_jvm_side(spark, blob_dir):
+    df = mm.read_binary_dir(spark, blob_dir).filter(F.col("path").endswith("c.wav"))
+    frames = mm.sample_frames(df, frame_bytes=256, every_n=2, max_frames=4).collect()
+    # 2052-byte blob, stride 512: frames at offsets 0/512/1024/1536
+    assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
+    assert all(len(r.frame) == 256 for r in frames[:4])
+
+
+def test_byte_histogram_features(spark, blob_dir):
+    df = mm.read_binary_dir(spark, blob_dir)
+    out = mm.byte_histogram_features(df, n_bins=64).collect()
+    for r in out:
+        assert len(r.features) == 64
+        assert abs(sum(r.features) - 1.0) < 1e-3
+
+
+def test_synthesized_media_pipeline(spark, sf_smoke):
+    docs = _t(spark, sf_smoke, "documents").limit(50)
+    media = mm.with_media_metadata(mm.synthesize_media_from_text(docs))
+    rows = media.collect()
+    assert len(rows) == 50
+    assert all(r.media_mime == "audio/wav" for r in rows)  # RIFF magic
+    feats = mm.byte_histogram_features(media).first()
+    assert len(feats.features) == 64

@@ -1,0 +1,102 @@
+"""Structured Streaming facade tests: stream output must equal the batch
+run of the same plan (unified-API property), dedup and session state
+behave, watermarked append emits finalized sessions only."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import events as load_events
+from grocery_store_sales_forecasting_etl_pipeline_spark.streaming import events as ev
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_smoke, tmp_path_factory):
+    """Events re-written as several TIME-ORDERED parquet files (ascending
+    modification time) so availableNow runs multiple micro-batches whose
+    event time advances monotonically — the watermark then finalizes
+    earlier sessions without dropping 'late' data."""
+    import shutil
+    import time
+
+    _ = load_events(spark, sf_smoke)  # applies the nanosAsLong conf
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    raw = spark.read.parquet(f"{sf_smoke}/events.parquet").orderBy("ts")
+    n = raw.count()
+    rows_per = n // 4 + 1
+    rows = raw.collect()
+    schema = raw.schema
+    for i in range(4):
+        chunk = rows[i * rows_per : (i + 1) * rows_per]
+        if not chunk:
+            continue
+        tmp = f"{d}__part{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in __import__("pathlib").Path(tmp).glob("*.parquet"):
+            shutil.copy(str(f), f"{d}/chunk_{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes => oldest-first processing order
+    return d
+
+
+def _batch_events(spark, events_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.schema(ev.EVENTS_RAW_SCHEMA).parquet(events_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def test_stream_windowed_counts_equal_batch(spark, events_dir):
+    stream = ev.stream_events(spark, events_dir)
+    ev.run_to_memory(spark, ev.windowed_counts(stream), "win_counts", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in ev.windowed_counts(_batch_events(spark, events_dir)).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_stream_dedup(spark, events_dir):
+    stream = ev.stream_events(spark, events_dir)
+    ev.run_to_memory(
+        spark,
+        ev.dedup_within_watermark(stream, keys=("event_id",)),
+        "dedup_out",
+        output_mode="append",
+    )
+    n_stream = spark.table("dedup_out").count()
+    n_batch = _batch_events(spark, events_dir).select("event_id").distinct().count()
+    assert n_stream == n_batch
+
+
+def test_stream_sessionize_append_subset_of_batch(spark, events_dir):
+    stream = ev.stream_events(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        ev.sessionize(stream, gap="5 minutes", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{events_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        (r.user_id, r.session_start): (r.n_events, r.session_value)
+        for r in spark.table("sessions_out").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, r.session_value)
+        for r in ev.sessionize(_batch_events(spark, events_dir), gap="5 minutes").collect()
+    }
+    # append emits only watermark-finalized sessions: a non-empty subset
+    assert emitted
+    assert set(emitted) <= set(batch)
+    for k, v in emitted.items():
+        assert batch[k] == v
