@@ -1,0 +1,57 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+(.explain audits from SURVEY.md §4) must not silently regress."""
+
+from __future__ import annotations
+
+from grocery_store_sales_forecasting_etl_pipeline_spark import plans
+
+
+def _explain(spark, name, sf_dir, mode="formatted"):
+    df = plans.REGISTRY[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def _formatted(spark, name, sf_dir):
+    return _explain(spark, name, sf_dir, "formatted")
+
+
+def _simple(spark, name, sf_dir):
+    # one line per physical node — reliable for counting exchanges
+    return _explain(spark, name, sf_dir, "simple")
+
+
+def test_filter_and_projection_pushdown(spark, sf_oracle):
+    plan = _formatted(spark, "filter_project_cast", sf_oracle)
+    assert "PushedFilters: [IsNotNull(p_retailprice), GreaterThan(p_retailprice,900.0)" in plan
+    # column pruning: p_name (widest column) must NOT be read
+    assert "p_name" not in plan
+
+
+def test_dim_joins_broadcast_no_fact_shuffle(spark, sf_oracle):
+    plan = _simple(spark, "dim_enrich_join", sf_oracle)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # the only exchanges are broadcast ones — the fact never hash-shuffles
+    assert plan.count("BroadcastExchange") == 3
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_date_filter_pushed_to_scan(spark, sf_oracle):
+    plan = _formatted(spark, "shipping_priority", sf_oracle)
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_weekly_agg_shuffle_budget(spark, sf_oracle):
+    plan = _simple(spark, "weekly_lag_features", sf_oracle)
+    # exactly two wide exchanges: group-by and window; scan pruned to the
+    # 5 needed columns
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "l_returnflag" not in plan
+
+
+def test_topk_no_global_sort(spark, sf_oracle):
+    plan = _formatted(spark, "topk_orders", sf_oracle)
+    assert "TakeOrderedAndProject" in plan
