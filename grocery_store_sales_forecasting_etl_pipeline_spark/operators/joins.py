@@ -60,6 +60,31 @@ def range_join(
     return fact.join(F.broadcast(buckets), on=cond, how=how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: a hot key's rows no longer land in one
+    task. Left rows get a deterministic salt in [0, n_salts) hashed from
+    the whole row; the right side is replicated n_salts× (explode) so
+    every (key, salt) finds its match. Equivalent results to
+    ``left.join(right, on, how)`` for one-row-per-key right sides.
+
+    AQE's skew-join split handles sort-merge skew automatically; salting
+    remains the tool when the skew is in a HASH aggregate feeding the
+    join or when AQE can't split (e.g. bucketed inputs).
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_salted.join(r_salted, on=[on, "__salt"], how=how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

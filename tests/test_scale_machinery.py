@@ -1,0 +1,74 @@
+"""Scale-machinery guarantees: bucketed co-located joins plan with zero
+exchanges, salted joins return plain-join results, incremental loads
+tolerate schema drift."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.joins import salted_join
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.sources import sinks
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_smoke):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    li = _t(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    orders = _t(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    sinks.write_bucketed(li, "bktdb.li_b", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    sinks.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bktdb.ord_b",
+        ["l_orderkey"],
+        8,
+        sort_by=["l_orderkey"],
+    )
+    yield "bktdb.li_b", "bktdb.ord_b"
+    spark.sql("DROP DATABASE bktdb CASCADE")
+
+
+def test_bucketed_join_no_exchange(spark, bucketed_tables):
+    li_t, ord_t = bucketed_tables
+    # disable auto-broadcast: at real scale both sides are too big for it —
+    # the point is that bucketing then removes the shuffle entirely
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(li_t).join(spark.table(ord_t), "l_orderkey")
+        _assert_colocated(spark, joined, li_t)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _assert_colocated(spark, joined, li_t):
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # co-located + co-sorted buckets: SMJ with neither exchange nor sort
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # and the result is right
+    n = joined.count()
+    assert n == spark.table(li_t).count()  # every lineitem has its order
+
+
+def test_salted_join_equivalence(spark, sf_smoke):
+    li = _t(spark, sf_smoke, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    orders = _t(spark, sf_smoke, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4)
+    key = lambda r: (r.l_orderkey, r.l_linenumber, r.l_quantity, r.o_totalprice)  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_incremental_load_schema_drift(spark, tmp_path):
+    d1, d2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(d1)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double").write.parquet(d2)
+    out = sinks.load_incremental(spark, [d1, d2])
+    rows = {r.id: (r.v, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
