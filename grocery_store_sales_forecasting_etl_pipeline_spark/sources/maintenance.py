@@ -1,0 +1,119 @@
+"""Table maintenance: upsert (MERGE analog) and compaction (OPTIMIZE
+analog) on plain parquet tables.
+
+The reference docx declares intent the notebooks never implement
+(docx §"Data Write": "upsert to Silver", "optimize and vacuum
+periodically" — SURVEY.md §4): the code actually full-overwrites. This
+module supplies the real operations, Delta-free:
+
+- ``merge_upsert``: keyed MERGE = target ∖ updates (left-anti) ∪ updates,
+  rewritten atomically via overwrite. Correct but rewrites the table —
+  use for dims/small tables.
+- ``partition_upsert``: the 100 TB path — only partitions present in the
+  update batch are rewritten (dynamic partition overwrite); untouched
+  partitions are never read or written. A daily 1-partition update to a
+  3-year table costs 1/1000th of the full rewrite.
+- ``compact_table``: rewrite a table (or partition subset) into
+  ``target_files`` files per partition — the small-files fix after many
+  appends.
+
+Vacuum has no parquet analog (overwrite replaces data in place via the
+metastore swap); with Delta installed, ``OPTIMIZE``/``VACUUM`` slot in
+here unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def merge_upsert(
+    spark: SparkSession, table: str, updates: DataFrame, keys: Sequence[str]
+) -> int:
+    """Keyed upsert: rows in ``updates`` replace same-key rows in
+    ``table``; new keys insert. Returns the new row count.
+
+    Plan: one left-anti shuffle on the keys + union + full rewrite.
+    """
+    target = spark.table(table)
+    missing = set(target.columns) ^ set(updates.columns)
+    if missing:
+        raise ValueError(f"upsert schema mismatch on columns: {sorted(missing)}")
+    kept = target.join(updates.select(*keys), on=list(keys), how="left_anti")
+    merged = kept.unionByName(updates)
+    # materialize before overwriting the table being read
+    merged.cache()
+    n = merged.count()
+    merged.write.mode("overwrite").format("parquet").saveAsTable(f"{table}__staged")
+    staged = spark.table(f"{table}__staged")
+    staged.write.mode("overwrite").format("parquet").saveAsTable(table)
+    spark.sql(f"DROP TABLE {table}__staged")
+    merged.unpersist()
+    return n
+
+
+def partition_upsert(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_cols: Sequence[str],
+) -> int:
+    """Partition-scoped upsert: merge ``updates`` into only the
+    partitions they touch, leaving every other partition untouched
+    (dynamic partition overwrite — ``partitionOverwriteMode=dynamic``).
+
+    Returns rows written. ``partition_cols`` must be the table's
+    partitioning; update rows must carry them.
+    """
+    # the affected-partition set is small by construction (a daily batch
+    # touches a few partitions) — broadcast it as a semi-join filter
+    affected = updates.select(*partition_cols).distinct()
+    target = spark.table(table)
+    old_affected = target.join(F.broadcast(affected), on=list(partition_cols), how="left_semi")
+    kept = old_affected.join(updates.select(*keys), on=list(keys), how="left_anti")
+    # USING-joins move key columns first; insertInto is POSITIONAL —
+    # restore the table's column order explicitly
+    merged = kept.unionByName(updates.select(*target.columns)).select(*target.columns)
+    merged.cache()
+    n = merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # insertInto with dynamic mode: only partitions present in
+        # `merged` are overwritten
+        merged.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    merged.unpersist()
+    return n
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """OPTIMIZE analog: rewrite the table with ``target_files`` files
+    (per partition when partitioned) to fix small-file proliferation
+    from appends. Uses repartition so the write is parallel."""
+    def _write(df: DataFrame, name: str) -> None:
+        w = df.write.mode("overwrite").format("parquet")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.saveAsTable(name)
+
+    df = spark.table(table)
+    if partition_cols:
+        df = df.repartition(target_files, *[F.col(c) for c in partition_cols])
+    else:
+        df = df.repartition(target_files)
+    # stage → swap: never overwrite a parquet table from a plan that is
+    # still reading it
+    _write(df, f"{table}__compacted")
+    _write(spark.table(f"{table}__compacted"), table)
+    spark.sql(f"DROP TABLE {table}__compacted")

@@ -1,0 +1,93 @@
+"""Upsert (MERGE analog) and compaction (OPTIMIZE analog) on plain
+parquet tables — the docx-declared intent the reference never implements
+(SURVEY.md §4 rows 'Upsert/merge to silver', 'Compaction')."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.sources import maintenance as mx
+
+
+@pytest.fixture()
+def base_table(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS mxdb")
+    df = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-01", 20.0), (3, "2024-02", 30.0)],
+        "id long, month string, v double",
+    )
+    df.write.mode("overwrite").format("parquet").saveAsTable("mxdb.t")
+    yield "mxdb.t"
+    spark.sql("DROP DATABASE mxdb CASCADE")
+
+
+def test_merge_upsert_updates_and_inserts(spark, base_table):
+    updates = spark.createDataFrame(
+        [(2, "2024-01", 99.0), (4, "2024-03", 40.0)], "id long, month string, v double"
+    )
+    n = mx.merge_upsert(spark, base_table, updates, keys=["id"])
+    assert n == 4
+    rows = {r.id: r.v for r in spark.table(base_table).collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+
+def test_merge_upsert_schema_mismatch_rejected(spark, base_table):
+    bad = spark.createDataFrame([(9, "x")], "id long, other string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        mx.merge_upsert(spark, base_table, bad, keys=["id"])
+
+
+@pytest.fixture()
+def partitioned_table(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS mxdb2")
+    df = spark.createDataFrame(
+        [(1, 10.0, "2024-01"), (2, 20.0, "2024-01"), (3, 30.0, "2024-02")],
+        "id long, v double, month string",
+    )
+    df.write.mode("overwrite").partitionBy("month").format("parquet").saveAsTable("mxdb2.t")
+    yield "mxdb2.t"
+    spark.sql("DROP DATABASE mxdb2 CASCADE")
+
+
+def test_partition_upsert_touches_only_affected_partition(spark, partitioned_table):
+    import glob
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    untouched = glob.glob(f"{warehouse}/mxdb2.db/t/month=2024-02/*.parquet")
+    mtimes_before = {f: os.path.getmtime(f) for f in untouched}
+
+    updates = spark.createDataFrame(
+        [(2, 99.0, "2024-01"), (5, 50.0, "2024-01")], "id long, v double, month string"
+    )
+    n = mx.partition_upsert(
+        spark, partitioned_table, updates, keys=["id"], partition_cols=["month"]
+    )
+    assert n == 3  # rows written into the affected partition
+    rows = {r.id: r.v for r in spark.table(partitioned_table).collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 5: 50.0}
+    # the 2024-02 partition files were not rewritten
+    mtimes_after = {f: os.path.getmtime(f) for f in glob.glob(
+        f"{warehouse}/mxdb2.db/t/month=2024-02/*.parquet"
+    )}
+    assert mtimes_before == mtimes_after
+
+
+def test_compact_reduces_files(spark, base_table):
+    import glob
+
+    # fragment the table with many small appends
+    for i in range(5):
+        spark.createDataFrame([(100 + i, "2024-09", 1.0)], "id long, month string, v double")\
+            .write.mode("append").format("parquet").saveAsTable(base_table)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files_before = len(glob.glob(f"{warehouse}/mxdb.db/t/*.parquet"))
+    n_before = spark.table(base_table).count()
+    mx.compact_table(spark, base_table, target_files=1)
+    files_after = len(glob.glob(f"{warehouse}/mxdb.db/t/*.parquet"))
+    assert spark.table(base_table).count() == n_before
+    assert files_after < files_before
+    assert files_after == 1
+    # values intact
+    assert spark.table(base_table).filter(F.col("id") == 1).first().v == 10.0
