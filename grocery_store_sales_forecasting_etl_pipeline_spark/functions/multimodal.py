@@ -105,23 +105,39 @@ DECODED_SCHEMA_FIELDS = [
 ]
 
 
-def _fake_decode(data: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in decoder (container has no image libs):
-    derives a plausible (width, height, channels) from the content hash.
-    CLEARLY A FAKE — replace by the PIL path in real deployments."""
-    import hashlib
-
-    h = hashlib.md5(data).digest()
-    return (64 + h[0] % 192, 64 + h[1] % 192, 3)
+# decoder factories return DYNAMIC closures: cloudpickle serializes those
+# by value into the UDF, so executors never need this repo importable
+# (module-level defs pickle by reference → ModuleNotFoundError on workers
+# when the driver runs outside the repo directory)
 
 
-def _real_decode(data: bytes) -> tuple[int, int, int]:
-    from io import BytesIO
+def _make_fake_decode():
+    def fake_decode(data: bytes) -> tuple[int, int, int]:
+        """Deterministic stand-in decoder (container has no image libs):
+        derives a plausible (width, height, channels) from the content
+        hash. CLEARLY A FAKE — replace by the PIL path in deployments."""
+        import hashlib
 
-    from PIL import Image  # noqa: PLC0415 — import-gated on purpose
+        h = hashlib.md5(data).digest()
+        return (64 + h[0] % 192, 64 + h[1] % 192, 3)
 
-    with Image.open(BytesIO(data)) as im:
-        return (im.width, im.height, len(im.getbands()))
+    return fake_decode
+
+
+def _make_real_decode():
+    def real_decode(data: bytes) -> tuple[int, int, int]:
+        from io import BytesIO
+
+        from PIL import Image  # noqa: PLC0415 — import-gated on purpose
+
+        with Image.open(BytesIO(data)) as im:
+            return (im.width, im.height, len(im.getbands()))
+
+    return real_decode
+
+
+_fake_decode = _make_fake_decode()
+_real_decode = _make_real_decode()
 
 
 def decode_images(

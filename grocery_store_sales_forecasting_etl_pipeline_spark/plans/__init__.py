@@ -24,6 +24,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import simops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import streamops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import mediaops  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import mlops  # noqa: F401
 
 __all__ = [
     "REGISTRY",

@@ -1,0 +1,84 @@
+"""applyInPandasWithState operator: cross-batch state must produce the
+same flags as a single-pass batch computation when batches arrive
+time-ordered."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.streaming import events as ev
+from grocery_store_sales_forecasting_etl_pipeline_spark.streaming.stateful import (
+    _score_batch,
+    stateful_outliers,
+)
+
+
+def test_stateful_outliers_stream_equals_batch(spark, sf_smoke, tmp_path):
+    import shutil
+    import time
+    from pathlib import Path
+
+    # time-ordered multi-file stream (state must carry across batches)
+    d = str(tmp_path / "stream")
+    Path(d).mkdir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_smoke}/events.parquet").orderBy("ts")
+    rows = raw.collect()
+    third = len(rows) // 3 + 1
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        if not chunk:
+            continue
+        tmp = str(tmp_path / f"part{i}")
+        spark.createDataFrame(chunk, raw.schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in Path(tmp).glob("*.parquet"):
+            shutil.copy(str(f), f"{d}/chunk_{i}.parquet")
+        time.sleep(1.1)
+
+    stream = ev.stream_events(spark, d, max_files_per_trigger=1)
+    q = (
+        stateful_outliers(stream)
+        .writeStream.format("memory")
+        .queryName("outliers_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_id: (round(r.zscore, 6), r.is_outlier)
+        for r in spark.table("outliers_out").collect()
+    }
+
+    # batch reference: one _score_batch pass per user over all events
+    batch_events = (
+        spark.read.schema(ev.EVENTS_RAW_SCHEMA).parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    want = {}
+    for _, g in batch_events.groupby("user_id"):
+        out, *_ = _score_batch(g, 0, 0.0, 0.0)
+        for _, r in out.iterrows():
+            want[r.event_id] = (round(r.zscore, 6), bool(r.is_outlier))
+
+    assert len(got) == len(want)
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
+def test_score_batch_flags_extremes():
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 12,
+            "event_id": range(12),
+            "ts": pd.date_range("2024-01-01", periods=12, freq="min"),
+            "value": [10.0, 10.1, 9.9, 10.0, 10.05, 9.95, 10.0, 10.1, 9.9, 10.0, 10.0, 500.0],
+        }
+    )
+    out, n, mean, m2 = _score_batch(pdf, 0, 0.0, 0.0)
+    assert bool(out.iloc[-1].is_outlier)
+    assert not out.iloc[:-1].is_outlier.any()
+    assert n == 12
