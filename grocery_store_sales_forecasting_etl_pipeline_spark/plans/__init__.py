@@ -20,6 +20,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational2  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational3  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational4  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import simops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import streamops  # noqa: F401

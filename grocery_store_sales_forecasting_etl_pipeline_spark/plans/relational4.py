@@ -1,0 +1,201 @@
+"""Relational operator queries, batch 4: JSON extraction, array
+aggregation, math scalar block, document chunking (LLM-pipeline op), and
+regex-based token estimation — completing SURVEY.md §2.8's 'engine
+exposes Spark's full built-in surface' commitment."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# JSON extraction + aggregation
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  count(*)                                              AS n_events,
+  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS sum_k,
+  round(sum(CAST(props->>'k' AS BIGINT)) * 1.0 / count(*), 4) AS avg_k,
+  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_extract_agg", oracle=_JSON_ORACLE, tags=("functions", "json"))
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string payload column + aggregation
+    (``get_json_object``) — semi-structured columns are first-class.
+
+    Scale notes: extraction is a JVM scalar inside codegen; for hot
+    multi-field access prefer one ``from_json`` with an explicit schema
+    over repeated path extraction (one parse vs N).
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.sum(k) / F.count("*"), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation (collect_list/set with deterministic ordering)
+# ---------------------------------------------------------------------------
+
+_ARRAY_AGG_ORACLE = """
+SELECT
+  user_id,
+  array_agg(event_id ORDER BY event_id)  AS event_ids,
+  CAST(len(array_agg(event_id)) AS BIGINT) AS n_events,
+  array_agg(DISTINCT event_type ORDER BY event_type) AS types
+FROM events
+WHERE user_id < 1020
+GROUP BY user_id
+"""
+
+
+@register("array_agg_ops", oracle=_ARRAY_AGG_ORACLE, tags=("agg", "array"))
+def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregates: per-user sorted event-id list and
+    distinct type set. ``collect_list`` order is execution-dependent —
+    ``sort_array`` makes the result deterministic (same rule as the
+    oracle's ORDER BY inside array_agg).
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 1020)
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.count("*").alias("n_events"),
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math scalar block
+# ---------------------------------------------------------------------------
+
+_MATH_ORACLE = """
+SELECT
+  p_partkey,
+  round(abs(p_retailprice - 1000.0), 2)     AS abs_diff,
+  CAST(ceil(p_retailprice) AS BIGINT)       AS ceil_price,
+  CAST(floor(p_retailprice) AS BIGINT)      AS floor_price,
+  round(sqrt(p_retailprice), 6)             AS sqrt_price,
+  round(ln(p_retailprice), 6)               AS ln_price,
+  round(pow(p_retailprice / 1000.0, 3), 6)  AS pow_price,
+  CAST(p_size % 7 AS BIGINT)                AS size_mod7,
+  CAST(sign(p_retailprice - 1000.0) AS BIGINT) AS price_sign
+FROM part
+WHERE p_retailprice > 0
+"""
+
+
+@register("math_funcs", oracle=_MATH_ORACLE, tags=("functions", "math"))
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar block: abs/ceil/floor/sqrt/ln/pow/mod/sign (IEEE
+    doubles agree with DuckDB's libm at 6dp on this domain)."""
+    p = _t(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.filter(price > 0).select(
+        "p_partkey",
+        F.round(F.abs(price - 1000.0), 2).alias("abs_diff"),
+        F.ceil(price).cast("long").alias("ceil_price"),
+        F.floor(price).cast("long").alias("floor_price"),
+        F.round(F.sqrt(price), 6).alias("sqrt_price"),
+        F.round(F.log(price), 6).alias("ln_price"),
+        F.round(F.pow(price / 1000.0, 3), 6).alias("pow_price"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod7"),
+        F.signum(price - 1000.0).cast("long").alias("price_sign"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (LLM training-data op: fixed-size overlapping chunks)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+idx AS (
+  SELECT doc_id, tk, unnest(range(0, greatest(1, CAST(ceil((len(tk) - {_CHUNK_SIZE}) * 1.0 / {_CHUNK_STRIDE}) AS BIGINT) + 1))) AS chunk_idx
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(tk, chunk_idx * {_CHUNK_STRIDE} + 1,
+                             chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ') AS chunk_text,
+  CAST(len(list_slice(tk, chunk_idx * {_CHUNK_STRIDE} + 1,
+                      chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS BIGINT) AS n_tokens
+FROM idx
+WHERE chunk_idx * {_CHUNK_STRIDE} + 1 <= len(tk)
+"""
+
+
+@register("doc_chunking", oracle=_CHUNK_ORACLE, tags=("text",))
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks (size 50, stride 40) — the
+    standard LLM training-data windowing op, entirely JVM-side
+    (sequence + slice + posexplode; no Python).
+
+    Scale notes: map-only with bounded row expansion (≤ n_tokens/stride
+    chunks per doc); chunk arrays never leave the JVM.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(_CHUNK_SIZE)) / F.lit(_CHUNK_STRIDE)).cast("long") + 1,
+    )
+    chunked = d.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    ).filter(F.col("chunk_idx") * _CHUNK_STRIDE + 1 <= F.size("tk"))
+    chunk = F.slice(F.col("tk"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex (BPE-ish) token estimation
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+_BPE_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT)                    AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS re_tokens,
+  CAST(ceil(length(text) / 4.0) AS BIGINT)                        AS byte_est_tokens
+FROM documents
+"""
+
+
+@register("token_estimates", oracle=_BPE_ORACLE, tags=("text",))
+def token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators per document: whitespace split,
+    BPE-ish regex segmentation (letters/digits/punct runs), and the
+    chars/4 rule of thumb — the standard triad for corpus sizing."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("long").alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_est_tokens"),
+    )
