@@ -55,3 +55,30 @@ def test_weekly_agg_shuffle_budget(spark, sf_oracle):
 def test_topk_no_global_sort(spark, sf_oracle):
     plan = _formatted(spark, "topk_orders", sf_oracle)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruning_on_partitioned_table(spark, sf_oracle):
+    """A filter on the partition column must prune at planning time
+    (PartitionFilters), reading only matching year=… directories —
+    the reference's year/month layout exists exactly for this."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+    import pyspark.sql.functions as F
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS prunedb")
+    try:
+        orders = _t(spark, sf_oracle, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+        orders.write.mode("overwrite").partitionBy("o_year").format("parquet").saveAsTable(
+            "prunedb.orders_by_year"
+        )
+        q = spark.table("prunedb.orders_by_year").filter(F.col("o_year") == 1997)
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PartitionFilters: [isnotnull(o_year" in plan and "(o_year" in plan
+        # the pruned read must not carry a post-scan filter on o_year rows
+        n = q.count()
+        assert n == _t(spark, sf_oracle, "orders").filter(F.year("o_orderdate") == 1997).count()
+    finally:
+        spark.sql("DROP DATABASE prunedb CASCADE")
