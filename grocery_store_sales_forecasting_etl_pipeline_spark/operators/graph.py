@@ -1,0 +1,131 @@
+"""Distributed connected components + dedup clustering.
+
+Pairwise near-dup detectors (operators/dedup.py, operators/similarity.py)
+emit EDGES (id_1, id_2). Deduplicating a corpus needs the transitive
+closure of those edges — duplicate CLUSTERS — plus one canonical survivor
+per cluster. This module closes that gap with the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14), expressed purely in DataFrame ops.
+
+Why this algorithm at 100 TB: naive min-label propagation needs
+O(graph diameter) rounds; large-star/small-star converges in
+O(log n) rounds, and every round is two shuffles (a groupBy-min and a
+join on the center node) over the CURRENT edge set, which shrinks
+monotonically toward one star per component. No vertex state lives on
+the driver — the driver only compares a (count, checksum) pair per round
+for the fixpoint test. Skewed high-degree nodes are exactly what
+large-star handles: it rewires a hub's neighbors to the hub's minimum
+without ever materializing the hub's neighborhood in one task.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (u < v) form, self-loops and
+    duplicates removed."""
+    u = F.least("u", "v").alias("u")
+    v = F.greatest("u", "v").alias("v")
+    return edges.select(u, v).where(F.col("u") != F.col("v")).distinct()
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor to
+    min(neighborhood ∪ {u}). Shrinks tall chains; safe on hubs (the
+    hub's neighbors re-point in parallel, one row each)."""
+    nbr = _symmetrize(edges)
+    m = (
+        nbr.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select("u", F.least("u", "__mn").alias("m"))
+    )
+    return (
+        nbr.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward the larger endpoint (center); connect each
+    smaller neighbor — and the center itself — to the center's
+    minimum neighbor."""
+    nbr = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = nbr.groupBy("u").agg(F.min("v").alias("m"))
+    out = nbr.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    center = m.select(F.col("u"), F.col("m").alias("v"))
+    return out.union(center)
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(row count, order-insensitive checksum) of a canonical edge set —
+    the driver-side fixpoint test. Two actions over an already-small
+    (and shrinking) edge set."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    ``component`` is the minimum node id of the connected component.
+
+    Iterates large-star → small-star → canonicalize until the canonical
+    edge set reaches a fixpoint (all components collapsed to min-rooted
+    stars), checked by count+checksum. ``max_iter`` is a guard far above
+    the O(log n) bound (25 covers 2²⁵ nodes per component).
+    """
+    # localCheckpoint each round: an iterative DataFrame algorithm's
+    # logical plan otherwise nests every prior round (cache does NOT
+    # truncate lineage) and Catalyst compile cost grows exponentially
+    edges = _canonical(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
+    prev = _fingerprint(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = _canonical(_small_star(_large_star(edges))).localCheckpoint()
+        cur = _fingerprint(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # fixpoint edges are min-rooted stars in canonical form: (root, member)
+    comp = edges.select(F.col("v").alias("node"), F.col("u").alias("component")).union(
+        edges.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    )
+    return comp.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id_1", dst: str = "id_2"
+) -> DataFrame:
+    """Near-dup pairs → per-document cluster assignment:
+    (doc_id, cluster_id, is_kept) with cluster_id = min doc id of the
+    duplicate cluster and is_kept marking the canonical survivor.
+    Documents with no duplicate edges are not emitted (they keep
+    themselves by definition — left-join this result and coalesce)."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    )
