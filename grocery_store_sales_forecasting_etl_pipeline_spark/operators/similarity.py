@@ -17,7 +17,7 @@ through the LSH path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
@@ -274,3 +274,175 @@ def lsh_ann_candidates(
         pairs = cosine_dup_pairs(blocked, id_col, vec_col, threshold, block_col="bucket")
         out = pairs if out is None else out.unionByName(pairs)
     return out.distinct()
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: spherical k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """(ids int64[n], unit-normalized float64[n,d]) from a DataFrame —
+    driver-side helper for structures that are SUPPOSED to be small
+    (centroid seeds, query sets)."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def _make_assigner(b_cents, nprobe: int, id_name: str):
+    """Factory for the mapInPandas assignment kernel (factory-closure
+    pattern: the closure captures only the broadcast handle and plain
+    ints/strings, never module-level repo functions — executors don't
+    have the repo on sys.path when the driver runs elsewhere)."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = b_cents.value  # (n_centroids, d), unit rows
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_name].to_numpy(dtype="int64")
+            q = np.array(list(pdf["__vec"]), dtype="float64")
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ cents.T  # (n, n_centroids)
+            # top-nprobe lists per row; argsort on (-sim, list_id) for
+            # deterministic tie-breaks
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    id_name: np.repeat(ids, nprobe),
+                    "list_id": order.reshape(-1).astype("int64"),
+                    "rank": np.tile(np.arange(nprobe, dtype="int64"), n),
+                }
+            )
+
+    return assign
+
+
+def ivf_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 5,
+):
+    """Spherical k-means coarse quantizer, fully deterministic:
+    seeds = the unit vectors of the ``n_centroids`` smallest ids; each
+    Lloyd round assigns distributed (broadcast centroids + GEMM in
+    mapInPandas, ties to the lowest list id) and recomputes means
+    distributed (posexplode → groupBy(list, dim) avg), then
+    renormalizes on the driver (n_centroids × d doubles — tiny by
+    construction; that is what makes it a COARSE quantizer).
+
+    Returns the (n_centroids, d) float64 centroid matrix.
+    """
+    import numpy as np
+
+    sc = df.sparkSession.sparkContext
+    seeds = df.orderBy(id_col).limit(n_centroids)
+    _, cents = _collect_matrix(seeds, id_col, vec_col)
+
+    base = df.select(
+        F.col(id_col), F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec")
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assign_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("list_id", LongType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    for _ in range(n_iter):
+        b = sc.broadcast(cents)
+        assigned = base.mapInPandas(_make_assigner(b, 1, id_col), schema=assign_schema)
+        means = (
+            base.join(assigned.select(id_col, "list_id"), id_col)
+            .select("list_id", F.posexplode("__vec").alias("dim", "val"))
+            .groupBy("list_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # lists that lost every member keep their seed
+        for r in means:
+            new[r["list_id"], r["dim"]] = r["m"]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+        b.destroy()
+    return cents
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: train the coarse quantizer on the corpus, bucket
+    corpus vectors into their nearest inverted list, probe each query's
+    ``nprobe`` nearest lists, and run exact cosine only inside probed
+    lists. Returns (query_id, neighbor_id, cosine_sim, rnk).
+
+    Scale notes: the corpus is scanned twice (train assignment + final
+    bucketing) and shuffled ONCE on list_id; queries fan out nprobe rows
+    each and meet their lists in a single co-partitioned join —
+    candidate count is nprobe/n_centroids of the corpus instead of all
+    of it. Recall→1 as nprobe→n_centroids (exact at nprobe=n_centroids,
+    pinned by tests/test_similarity.py).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sc = corpus.sparkSession.sparkContext
+    cents = ivf_train(corpus, id_col, vec_col, n_centroids, n_iter)
+    b = sc.broadcast(cents)
+
+    schema_c = StructType(
+        [StructField("__cid", LongType()), StructField("list_id", LongType()), StructField("rank", LongType())]
+    )
+    schema_q = StructType(
+        [StructField("__qid", LongType()), StructField("list_id", LongType()), StructField("rank", LongType())]
+    )
+    c_base = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec"),
+    )
+    q_base = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec"),
+    )
+    c_lists = c_base.mapInPandas(_make_assigner(b, 1, "__cid"), schema=schema_c).select(
+        "__cid", "list_id"
+    )
+    q_probes = q_base.mapInPandas(_make_assigner(b, nprobe, "__qid"), schema=schema_q).select(
+        "__qid", "list_id"
+    )
+
+    c_side = c_base.join(c_lists, "__cid").withColumnRenamed("__vec", "__cvec")
+    q_side = q_base.join(q_probes, "__qid").withColumnRenamed("__vec", "__qvec")
+    cand = q_side.join(c_side, "list_id").where(F.col("__qid") != F.col("__cid"))
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col("__cid").alias("neighbor_id"),
+        F.round(cosine("__qvec", "__cvec"), 6).alias("cosine_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -108,3 +108,30 @@ def ann_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _t(spark, sf_dir, "embeddings")
     return sim.lsh_ann_candidates(emb, n_planes=8, threshold=0.4, n_tables=2)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (second scale path; rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("ivf_ann_topk", oracle=None, tags=("similarity",))
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: deterministic spherical k-means coarse quantizer
+    (8 lists, seeds = lowest-id vectors, 5 Lloyd rounds), queries probe
+    their 4 nearest lists, exact cosine only inside probed lists
+    (operators/similarity.py:ivf_search).
+
+    Rows-only check (iterative k-means is not SQL-expressible);
+    exactness at nprobe=n_centroids and recall@10 at partial nprobe are
+    pinned by tests/test_similarity.py.
+
+    Scale notes: complements the LSH path — IVF adapts its partition
+    boundaries to the data distribution (k-means), so clustered corpora
+    get balanced lists where fixed hyperplanes would skew; candidate
+    work is ~nprobe/n_centroids of the corpus per query, one
+    co-partitioned join on list_id.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_search(emb, queries, k=5, nprobe=4, n_centroids=8, n_iter=5)

@@ -48,3 +48,37 @@ def test_knn_self_excluded_and_k_bounded(spark, sf_smoke):
     for sims in by_q.values():
         assert len(sims) == 4
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_exact_when_probing_all_lists(spark, sf_smoke):
+    # nprobe = n_centroids degenerates to brute force: every query sees
+    # every list, so the top-k must equal the exact baseline
+    emb = _t(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    ivf = sim.ivf_search(emb, q, k=5, nprobe=4, n_centroids=4, n_iter=3)
+    exact = sim.brute_force_knn(emb, q, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert got == want
+
+
+def test_ivf_partial_probe_recall(spark, sf_smoke):
+    emb = _t(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    ivf = sim.ivf_search(emb, q, k=5, nprobe=4, n_centroids=8, n_iter=5)
+    exact = sim.brute_force_knn(emb, q, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    # approximate results must be real corpus pairs with >= 60% recall@5
+    assert got, "IVF returned nothing"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_train_deterministic(spark, sf_smoke):
+    import numpy as np
+
+    emb = _t(spark, sf_smoke, "embeddings")
+    c1 = sim.ivf_train(emb, n_centroids=4, n_iter=2)
+    c2 = sim.ivf_train(emb, n_centroids=4, n_iter=2)
+    assert np.allclose(c1, c2, atol=0)
