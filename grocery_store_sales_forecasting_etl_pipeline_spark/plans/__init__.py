@@ -23,6 +23,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational3
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational4  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational5  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational6  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational7  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import simops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import streamops  # noqa: F401
