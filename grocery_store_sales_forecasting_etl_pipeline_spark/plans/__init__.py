@@ -24,6 +24,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational4
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational5  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational6  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational7  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational8  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import simops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import streamops  # noqa: F401

@@ -1,0 +1,125 @@
+"""Relational operator queries, batch 8: ML feature scaling and
+event-funnel analysis.
+
+- ``supplier_qty_zscore``: per-group standardization (z-score) — the
+  feature-scaling step in front of any ML stage (SURVEY §2.11), done
+  distributed instead of sklearn-on-driver. Statistics are computed
+  over INTEGRAL quantities so the double sums are exact and the z-score
+  is engine-deterministic down to the final IEEE divide/sqrt.
+- ``signup_purchase_funnel``: ordered-step conversion over the events
+  stream — the min-timestamp-per-step formulation (step B counts only
+  if it happens AFTER step A), one aggregation pass, no self-join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Per-group z-score standardization
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT l_suppkey,
+         sum(l_quantity)                 AS s1,
+         sum(l_quantity * l_quantity)    AS s2,
+         count(*)                        AS n
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       round(l_quantity, 2) AS qty,
+       round((l_quantity - s1 / n)
+             / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS qty_z
+FROM lineitem JOIN stats USING (l_suppkey)
+WHERE l_suppkey <= 10
+"""
+
+
+@register("supplier_qty_zscore", oracle=_ZSCORE_ORACLE, tags=("agg", "ml", "window"))
+def supplier_qty_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier z-score of order quantities (population stddev via
+    the sum/sum-of-squares identity, so ONE aggregation pass computes
+    every group's mean and variance).
+
+    Scale notes: expressed as window aggregates over the supplier
+    partition — one shuffle, and the row stays joined to its statistics
+    without a separate stats table + join. Quantities are integral ≤50,
+    so s1/s2 are exact in doubles up to 2⁵³ — the z-score is
+    bit-deterministic across engines; the sum/sumsq identity holds
+    exactly for the same reason (catastrophic cancellation needs
+    non-integral mass).
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = Window.partitionBy("l_suppkey")
+    q = F.col("l_quantity")
+    s1 = F.sum(q).over(w)
+    s2 = F.sum(q * q).over(w)
+    n = F.count("*").over(w)
+    mean = s1 / n
+    z = (q - mean) / F.sqrt(s2 / n - mean * mean)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.round(q, 2).alias("qty"),
+        F.round(z, 6).alias("qty_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-step funnel conversion
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  count(*)                                               AS n_users,
+  CAST(count(t_view) AS BIGINT)                          AS step_view,
+  CAST(sum(CASE WHEN t_signup > t_view THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS step_signup,
+  CAST(sum(CASE WHEN t_purchase > t_signup AND t_signup > t_view
+                THEN 1 ELSE 0 END) AS BIGINT)            AS step_purchase
+FROM per_user
+"""
+
+
+@register("signup_purchase_funnel", oracle=_FUNNEL_ORACLE, tags=("agg", "events"))
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → signup → purchase funnel: a user advances a step only if
+    its FIRST occurrence is strictly after the first occurrence of the
+    previous step (min-timestamp formulation).
+
+    Scale notes: one groupBy(user) with conditional min aggregates —
+    no per-step self-joins (the naive funnel is k-1 joins over the
+    event log; this is one shuffle regardless of k). NULL timestamps
+    (step never reached) propagate false through the > comparisons on
+    both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    t_of = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        t_of("view").alias("t_view"),
+        t_of("signup").alias("t_signup"),
+        t_of("purchase").alias("t_purchase"),
+    )
+    sign_ok = F.col("t_signup") > F.col("t_view")
+    purch_ok = (F.col("t_purchase") > F.col("t_signup")) & sign_ok
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.sum(F.when(sign_ok, 1).otherwise(0)).cast("long").alias("step_signup"),
+        F.sum(F.when(purch_ok, 1).otherwise(0)).cast("long").alias("step_purchase"),
+    )
