@@ -123,3 +123,54 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(sign_ok, 1).otherwise(0)).cast("long").alias("step_signup"),
         F.sum(F.when(purch_ok, 1).otherwise(0)).cast("long").alias("step_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS f_total,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS o_total,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS p_total
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status_col, total
+FROM wide
+UNPIVOT (total FOR status_col IN (f_total, o_total, p_total))
+"""
+
+
+@register("unpivot_status_totals", oracle=_UNPIVOT_ORACLE, tags=("agg", "pivot"))
+def unpivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long: per-priority totals by order status pivoted wide
+    (conditional aggregation), then melted back with ``unpivot`` —
+    the inverse of pivot_priority_matrix, completing the reshape pair.
+
+    Scale notes: unpivot is a narrow projection (each input row emits k
+    rows map-side, no shuffle); the only exchange is the aggregation
+    that built the wide table. NULL cells (status absent for a
+    priority) are dropped by both engines' UNPIVOT by default —
+    value-filtering semantics the oracle shares.
+    """
+    o = _t(spark, sf_dir, "orders")
+    status_total = lambda s: (  # noqa: E731
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice").cast("decimal(18,2)"))),
+            2,
+        ).cast("double")
+    )
+    wide = o.groupBy("o_orderpriority").agg(
+        status_total("F").alias("f_total"),
+        status_total("O").alias("o_total"),
+        status_total("P").alias("p_total"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["f_total", "o_total", "p_total"],
+        variableColumnName="status_col",
+        valueColumnName="total",
+    ).where(F.col("total").isNotNull())
