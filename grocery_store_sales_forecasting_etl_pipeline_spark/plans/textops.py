@@ -362,3 +362,99 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("source",),
     )
     return G.dedup_clusters(pairs, src="id_1", dst="id_2")
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: corpus curation (quality gate → language gate →
+# exact-dedup survivors) — the end-to-end training-data filter chain
+# ---------------------------------------------------------------------------
+
+
+def _curation_sql() -> str:
+    """Same scored/best scaffolding as _langid_sql, then the curation
+    chain: quality ≥ 0.5 AND detected language known → dedup survivors
+    (min doc_id per normalized-text fingerprint)."""
+    score_cols = []
+    for lang, words in T.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(CASE WHEN list_contains(dt, '{w}') THEN 1 ELSE 0 END)" for w in words
+        )
+        score_cols.append(f"({hits}) AS s_{lang}")
+    when_chain = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    stop_hits = " + ".join(
+        f"(CASE WHEN list_contains(dt, '{w}') THEN 1 ELSE 0 END)" for w in T.STOPWORDS
+    )
+    greatest = ", ".join(f"s_{lang}" for lang in T.LANG_MARKERS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS tk,
+         list_distinct(string_split(text, ' ')) AS dt
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, tk, dt,
+         {", ".join(score_cols)},
+         CAST(({stop_hits}) AS BIGINT) AS stopword_hits
+  FROM t
+),
+best AS (
+  SELECT *, greatest({greatest}) AS best FROM scored
+),
+qual AS (
+  SELECT
+    doc_id,
+    CASE WHEN best = 0 THEN 'und' {when_chain} ELSE 'und' END AS detected_lang,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    round(
+      (CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.3
+      + (CASE WHEN round(length(text) * 1.0 / len(tk), 4) BETWEEN 3.0 AND 12.0
+         THEN 1.0 ELSE 0.0 END) * 0.2
+      + (CASE WHEN ({stop_hits}) >= 2 THEN 1.0 ELSE 0.0 END) * 0.2
+      + least(round(len(dt) * 1.0 / len(tk), 4) * 2.0, 1.0) * 0.3,
+    4) AS quality_score,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM best
+),
+gated AS (
+  SELECT * FROM qual WHERE quality_score >= 0.5 AND detected_lang <> 'und'
+)
+SELECT doc_id, detected_lang, n_tokens, quality_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM gated
+)
+WHERE rn = 1
+"""
+
+
+@register("corpus_curation", oracle=_curation_sql(), tags=("text", "dedup", "flagship"))
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation chain in one declarative
+    plan: score quality → gate on quality ≥ 0.5 and a detected language
+    → keep one survivor per exact-content fingerprint (min doc_id).
+
+    Scale notes: gates run BEFORE dedup — cheap map-side predicates
+    shrink the corpus before the fingerprint shuffle (the only exchange
+    in the plan). Order matters at 100 TB: deduping first would shuffle
+    rows the quality gate was about to discard. All scoring is JVM
+    expression trees; the whole chain is one scan + one shuffle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    gated = d.select(
+        "doc_id",
+        T.langid("text").alias("detected_lang"),
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality_score"),
+        T.fingerprint("text").alias("fingerprint"),
+    ).filter((F.col("quality_score") >= 0.5) & (F.col("detected_lang") != "und"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "detected_lang", "n_tokens", "quality_score")
+    )
