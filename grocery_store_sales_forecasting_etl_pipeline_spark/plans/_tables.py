@@ -20,6 +20,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros produces TIMESTAMP (LTZ), and PySpark's collect
+    # converts LTZ to Python datetimes via the PROCESS timezone — so a
+    # driver running under TZ=America/New_York would see shifted wall
+    # clocks while the oracle's naive timestamps never move. Pin the
+    # session TZ to UTC and cast to TIMESTAMP_NTZ: the cast snapshots
+    # the UTC wall clock into a TZ-independent type (NTZ collects
+    # without any local-TZ conversion).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # integer DIV — float division loses precision above 2^53 ns
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    )

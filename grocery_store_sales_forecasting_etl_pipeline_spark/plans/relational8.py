@@ -174,3 +174,54 @@ def unpivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status_col",
         valueColumnName="total",
     ).where(F.col("total").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (transform / filter / aggregate / zip)
+# ---------------------------------------------------------------------------
+
+_ARRAY_HOF_ORACLE = """
+SELECT vec_id,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.0)) AS BIGINT)
+         AS n_positive,
+       round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> x * x), 'sum'), 6)
+         AS sq_norm,
+       round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> least(greatest(x, -0.5), 0.5)),
+                            'sum'), 6)
+         AS clipped_sum
+FROM embeddings
+"""
+
+
+@register("array_hof_funcs", oracle=_ARRAY_HOF_ORACLE, tags=("functions", "array"))
+def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column:
+    ``filter`` (positive-component count), ``transform`` + ``aggregate``
+    (squared norm), and clipping (transform with greatest/least) —
+    Spark's lambda surface mirrored by DuckDB's list_* family.
+
+    Determinism note: both engines fold the transformed list
+    left-to-right, and float32 values squared/summed in double are
+    exact per element — the sums agree at 6dp.
+
+    Scale notes: all three are per-row JVM lambda expressions inside
+    codegen — map-only, no shuffle, no Python.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return emb.select(
+        "vec_id",
+        F.expr(f"size(filter({dv}, x -> x > 0.0D))").cast("long").alias("n_positive"),
+        F.round(
+            F.expr(f"aggregate(transform({dv}, x -> x * x), 0.0D, (a, v) -> a + v)"), 6
+        ).alias("sq_norm"),
+        F.round(
+            F.expr(
+                f"aggregate(transform({dv}, x -> least(greatest(x, -0.5D), 0.5D)), "
+                "0.0D, (a, v) -> a + v)"
+            ),
+            6,
+        ).alias("clipped_sum"),
+    )

@@ -46,10 +46,15 @@ def stream_events(
     makes availableNow run several batches, advancing the watermark
     between them)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC for the LTZ rebuild — same reasoning as plans/_tables.events
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(path)
+    # stays TIMESTAMP (LTZ): watermarks/event time require it
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ); the session TZ is
+    # pinned UTC above so wall clocks are still deterministic
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
@@ -124,3 +129,17 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream–static join: enrich a (possibly streaming) event frame
+    with a static dimension table. Spark plans this as a broadcast (or
+    locality-preserving) join evaluated per micro-batch against the
+    CURRENT dim snapshot — no state store involved, unlike
+    stream-stream joins.
+
+    Scale notes: the static side re-resolves each micro-batch, so a dim
+    refreshed in place (overwrite) is picked up without restarting the
+    query; keep the dim broadcast-sized or pre-bucketed on the key.
+    """
+    return stream_df.join(dim_df, on=on, how=how)

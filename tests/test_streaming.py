@@ -100,3 +100,25 @@ def test_stream_sessionize_append_subset_of_batch(spark, events_dir):
     assert set(emitted) <= set(batch)
     for k, v in emitted.items():
         assert batch[k] == v
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    # dim: user tier lookup (static side of a stream-static join)
+    dim = spark.createDataFrame(
+        [(u, "gold" if u % 2 == 0 else "basic") for u in range(1000, 1060)],
+        ["user_id", "tier"],
+    )
+    stream = ev.stream_events(spark, events_dir)
+    agg = ev.enrich_with_dim(stream, dim, on="user_id").groupBy("tier").agg(
+        F.count("*").alias("n")
+    )
+    ev.run_to_memory(spark, agg, "enrich_test", output_mode="complete")
+    got = {(r["tier"], r["n"]) for r in spark.table("enrich_test").collect()}
+    want = {
+        (r["tier"], r["n"])
+        for r in ev.enrich_with_dim(_batch_events(spark, events_dir), dim, on="user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
