@@ -225,3 +225,56 @@ def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clipped_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  first_day - CAST((dayofweek(first_day) + 6) % 7 AS INTEGER) AS cohort_start,
+  CAST(date_diff('day', first_day, CAST(ts AS DATE)) // 7 AS BIGINT) AS week_offset,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_ORACLE, tags=("agg", "events", "timeseries"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the Monday of their
+    first-event week, counted distinct per whole-week offset since their
+    first day. Week offsets are integer day-arithmetic (days // 7), not
+    calendar weekofyear — identical on every engine and immune to ISO
+    year-boundary drift.
+
+    Scale notes: two shuffles — per-user min (map-side combinable) and
+    the cohort-cell distinct count; the firsts table is user-cardinality
+    and joins back broadcast at dim size. The Monday anchor uses modular
+    dayofweek arithmetic (with DuckDB's 0-based Sunday adjusted) rather
+    than date_trunc('week'), which returns different types across
+    engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    # Monday anchor: subtract (dow + 5) % 7 days, Spark dayofweek is
+    # 1=Sunday..7=Saturday -> Monday offset = (dayofweek + 5) % 7
+    monday = F.date_sub(
+        F.col("first_day"), (F.dayofweek("first_day") + F.lit(5)) % F.lit(7)
+    )
+    joined = ev.join(F.broadcast(firsts), "user_id")
+    return (
+        joined.groupBy(
+            monday.alias("cohort_start"),
+            F.expr("CAST(datediff(CAST(ts AS DATE), first_day) DIV 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
