@@ -94,13 +94,15 @@ def connected_components(
     # localCheckpoint each round: an iterative DataFrame algorithm's
     # logical plan otherwise nests every prior round (cache does NOT
     # truncate lineage) and Catalyst compile cost grows exponentially
+    # eager=False: the fingerprint collect right after is the round's ONE
+    # materializing action (an eager checkpoint would add a second job)
     edges = _canonical(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev = _fingerprint(edges)
     converged = False
     for _ in range(max_iter):
-        edges = _canonical(_small_star(_large_star(edges))).localCheckpoint()
+        edges = _canonical(_small_star(_large_star(edges))).localCheckpoint(eager=False)
         cur = _fingerprint(edges)
         if cur == prev:
             converged = True

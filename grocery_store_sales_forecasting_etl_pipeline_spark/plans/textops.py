@@ -452,6 +452,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score("text").alias("quality_score"),
         T.fingerprint("text").alias("fingerprint"),
     ).filter((F.col("quality_score") >= 0.5) & (F.col("detected_lang") != "und"))
+    # pipeline breaker: without it Catalyst pushes the filter into the
+    # scan, duplicating the (codegen-fallback-sized) scoring expression
+    # into both the scan filter and the projection — measured 2.5×
+    # slower at sf0.1. The lazy checkpoint materializes the scored+gated
+    # rows once; the window stage reads the materialized form.
+    gated = gated.localCheckpoint(eager=False)
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
         gated.withColumn("rn", F.row_number().over(w))
