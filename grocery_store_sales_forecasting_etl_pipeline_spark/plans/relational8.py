@@ -278,3 +278,25 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT (completing the set-op triple with set_ops' UNION/EXCEPT)
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+"""
+
+
+@register("intersect_customers", oracle=_INTERSECT_ORACLE, tags=("setops",))
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in BOTH 1996 and 1998 — INTERSECT distinct
+    semantics (Catalyst plans it as dedup + left-semi, one shuffle on
+    the key; the year filters push to the scans)."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y96.intersect(y98)
