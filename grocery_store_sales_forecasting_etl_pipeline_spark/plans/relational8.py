@@ -300,3 +300,46 @@ def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
     return y96.intersect(y98)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (arbitrary, non-hierarchical — beyond cube_volume's CUBE
+# and rollup_revenue's ROLLUP)
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  count(*)                  AS n_items,
+  round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register("grouping_sets_volume", oracle=_GSETS_ORACLE, tags=("agg",))
+def grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS ((returnflag), (linestatus)) — two
+    independent single-column breakdowns in one pass, a shape neither
+    ROLLUP nor CUBE expresses (completes SURVEY §2.4's grouping-sets
+    family with cube_volume / rollup_revenue).
+
+    Scale notes: Catalyst plans one Expand (2× row multiplier, map-side)
+    feeding a single partial+final HashAggregate — one shuffle keyed on
+    the null-extended grouping tuple, vs two scans + a union for the
+    naive formulation. grouping_id disambiguates which set each output
+    row belongs to.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
