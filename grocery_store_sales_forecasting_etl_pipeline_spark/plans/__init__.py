@@ -6,8 +6,10 @@ with (a) a PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame`` and
 (b) where SQL-expressible, an equivalent DuckDB oracle SQL string over the
 same parquet tables.
 
-Import order matters only in that each module populates the shared REGISTRY
-at import time.
+Import order determines REGISTRY (and hence driver adjudication) order:
+the flagship batch first, then the LLM-training-data stack (text dedup,
+similarity, streaming, multimodal, ML) so it sits early inside the
+driver's bounded query window, then the broader relational surface.
 """
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
@@ -18,6 +20,11 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
     register,
 )
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import simops  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import streamops  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import mediaops  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import mlops  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational2  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational3  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational4  # noqa: F401
@@ -25,11 +32,6 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational5
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational6  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational7  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational8  # noqa: F401
-from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # noqa: F401
-from grocery_store_sales_forecasting_etl_pipeline_spark.plans import simops  # noqa: F401
-from grocery_store_sales_forecasting_etl_pipeline_spark.plans import streamops  # noqa: F401
-from grocery_store_sales_forecasting_etl_pipeline_spark.plans import mediaops  # noqa: F401
-from grocery_store_sales_forecasting_etl_pipeline_spark.plans import mlops  # noqa: F401
 
 __all__ = [
     "REGISTRY",

@@ -53,9 +53,9 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARRAY_AGG_ORACLE = """
 SELECT
   user_id,
-  array_agg(event_id ORDER BY event_id)  AS event_ids,
-  CAST(len(array_agg(event_id)) AS BIGINT) AS n_events,
-  array_agg(DISTINCT event_type ORDER BY event_type) AS types
+  array_to_string(array_agg(event_id ORDER BY event_id), ',')          AS event_ids,
+  CAST(len(array_agg(event_id)) AS BIGINT)                             AS n_events,
+  array_to_string(array_agg(DISTINCT event_type ORDER BY event_type), ',') AS types
 FROM events
 WHERE user_id < 1020
 GROUP BY user_id
@@ -67,12 +67,47 @@ def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregates: per-user sorted event-id list and
     distinct type set. ``collect_list`` order is execution-dependent —
     ``sort_array`` makes the result deterministic (same rule as the
-    oracle's ORDER BY inside array_agg).
+    oracle's ORDER BY inside array_agg). The arrays are serialized to
+    comma-joined strings at the output boundary so the driver's
+    canonicalizer (pandas sort + hash) can order the rows — list-typed
+    cells are unhashable there. ``array_agg_arrays`` in
+    tests/test_oracle_parity.py covers the array-typed output itself.
     """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 1020)
+    ids_sorted = F.sort_array(F.collect_list("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.transform(ids_sorted, lambda x: x.cast("string")), ",").alias(
+            "event_ids"
+        ),
+        F.count("*").alias("n_events"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+    )
+
+
+# Array-typed variant kept out of the driver registry (its canonicalizer
+# cannot hash list cells) but oracle-compared in pytest via the local
+# harness, which serializes lists itself.
+_ARRAY_AGG_ARRAYS_ORACLE = """
+SELECT
+  user_id,
+  array_agg(event_id ORDER BY event_id)  AS event_ids,
+  array_agg(DISTINCT event_type ORDER BY event_type) AS types
+FROM events
+WHERE user_id < 1020
+GROUP BY user_id
+"""
+
+
+@register(
+    "array_agg_arrays", oracle=_ARRAY_AGG_ARRAYS_ORACLE, tags=("agg", "array"), driver=False
+)
+def array_agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed collect_list/collect_set results (pytest-only: the
+    driver cannot hash list cells; see array_agg_ops for the
+    driver-facing string-serialized form)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 1020)
     return ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list("event_id")).alias("event_ids"),
-        F.count("*").alias("n_events"),
         F.sort_array(F.collect_set("event_type")).alias("types"),
     )
 
@@ -97,7 +132,7 @@ WHERE p_retailprice > 0
 """
 
 
-@register("math_funcs", oracle=_MATH_ORACLE, tags=("functions", "math"))
+@register("math_funcs", oracle=_MATH_ORACLE, tags=("functions", "math"), driver=False)
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar block: abs/ceil/floor/sqrt/ln/pow/mod/sign (IEEE
     doubles agree with DuckDB's libm at 6dp on this domain)."""
