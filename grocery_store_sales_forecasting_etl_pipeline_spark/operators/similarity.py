@@ -214,6 +214,94 @@ def cosine_dup_pairs_gemm(
     return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
 
 
+def cosine_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold with distributed block-triangle
+    GEMM — the scale-safe replacement for ``cosine_dup_pairs_gemm``'s
+    driver-side broadcast: nothing is ever collected to the driver.
+
+    Ids hash-partition into ``n_blocks`` blocks; every unordered block
+    pair (b1 ≤ b2) becomes one cogroup whose two sides are the full
+    member sets of b1 and b2, multiplied with one numpy GEMM inside
+    ``applyInPandas``. Every vector pair lands in exactly one cogroup
+    (diagonal groups dedup with id_1 < id_2; off-diagonal pairs appear
+    once because blocks partition the id space), so the result is
+    identical to the exact O(n²) scan — same float shape as the
+    broadcast kernel (unit-normalize in float64, GEMM, round).
+
+    Scale accounting: shuffle volume is (n_blocks+1)·|corpus| rows (each
+    row participates in n_blocks+1 block pairs); per-task memory is the
+    two block slices, ~2·(n/n_blocks)·d·8 bytes. Choose
+    n_blocks ≈ n·d·8 / task_budget_bytes: 10⁸ vectors × 128d at 512 MB
+    per task → ~400 blocks, ~8·10⁴ GEMM tasks — embarrassingly parallel,
+    no driver bottleneck, vs the broadcast kernel's hard 200k-row wall.
+    """
+    nb = int(n_blocks)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("__blk"),
+    )
+    # role A: a row of block b is the LEFT side of pairs (b, b2), b2 >= b
+    side_a = base.select(
+        "__id",
+        "__vec",
+        F.col("__blk").alias("__b1"),
+        F.explode(F.expr(f"sequence(__blk, {nb - 1})")).alias("__b2"),
+    )
+    # role B: a row of block b is the RIGHT side of pairs (b1, b), b1 <= b.
+    # The right side MUST use distinct column names: both sides descend
+    # from the same parent plan, and a self-cogroup with identical
+    # attribute names mis-prunes the right side down to its grouping keys
+    # (observed on pyspark 4.1: right pdf arrived as [__b1, __b2] only).
+    side_b = base.select(
+        F.col("__id").alias("__rid"),
+        F.col("__vec").alias("__rvec"),
+        F.explode(F.expr("sequence(0, __blk)")).alias("__b1"),
+        F.col("__blk").alias("__b2"),
+    )
+
+    def kernel(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_1": [], "id_2": [], "cosine_sim": []}).astype(
+                {"id_1": "int64", "id_2": "int64", "cosine_sim": "float64"}
+            )
+        l_ids = left["__id"].to_numpy(dtype="int64")
+        r_ids = right["__rid"].to_numpy(dtype="int64")
+        lm = np.array(list(left["__vec"]), dtype="float64")
+        rm = np.array(list(right["__rvec"]), dtype="float64")
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = np.round(lm @ rm.T, round_to)
+        mask = sims >= threshold
+        if left["__b1"].iat[0] == left["__b2"].iat[0]:  # diagonal: dedup
+            mask &= l_ids[:, None] < r_ids[None, :]
+        li, ri = np.nonzero(mask)
+        a, b = l_ids[li], r_ids[ri]
+        return pd.DataFrame(
+            {
+                "id_1": np.minimum(a, b),
+                "id_2": np.maximum(a, b),
+                "cosine_sim": sims[li, ri],
+            }
+        )
+
+    return (
+        side_a.groupBy("__b1", "__b2")
+        .cogroup(side_b.groupBy("__b1", "__b2"))
+        .applyInPandas(kernel, schema="id_1 long, id_2 long, cosine_sim double")
+    )
+
+
 def _hyperplane_value(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
     md5(plane:dim) leading 8 hex digits → uniform u32 → affine map.
@@ -327,12 +415,47 @@ def _make_assigner(b_cents, nprobe: int, id_name: str):
     return assign
 
 
+def _make_mean_partialer(b_cents):
+    """Factory for the Lloyd-round kernel: assign each vector to its
+    nearest centroid AND emit per-batch partial (list_id, n, vsum) rows
+    — map-side combine for the mean recompute, so one scan of the
+    cached training sample per round with no join/explode/shuffle
+    (the partials are n_batches × n_lists rows, reduced driver-side)."""
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = b_cents.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.array(list(pdf["__vec"]), dtype="float64")
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ cents.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            lists, inv = np.unique(order, return_inverse=True)
+            sums = np.zeros((len(lists), q.shape[1]))
+            np.add.at(sums, inv, q)  # means use RAW vectors (spherical k-means)
+            counts = np.bincount(inv, minlength=len(lists))
+            yield pd.DataFrame(
+                {
+                    "list_id": lists.astype("int64"),
+                    "n": counts.astype("int64"),
+                    "vsum": list(sums),
+                }
+            )
+
+    return partials
+
+
 def ivf_train(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iter: int = 5,
+    max_train_rows: int = 4096,
 ):
     """Spherical k-means coarse quantizer, fully deterministic:
     seeds = the unit vectors of the ``n_centroids`` smallest ids; each
@@ -342,43 +465,62 @@ def ivf_train(
     renormalizes on the driver (n_centroids × d doubles — tiny by
     construction; that is what makes it a COARSE quantizer).
 
+    Train-on-sample: a coarse quantizer only needs enough points to
+    place ``n_centroids`` means, so when the corpus exceeds
+    ``max_train_rows`` the Lloyd loop runs on a deterministic md5-keyed
+    hash sample of ~that size (same engine-portable sampling rule as
+    the hash_sample query) — the n_iter sequential jobs then scan the
+    cached sample, not the full corpus, cutting 100 TB training cost by
+    ~corpus/sample per round. The full corpus is only scanned by the
+    caller's single assignment pass. Sampling stays reproducible across
+    runs, partitionings, and engines because membership is a pure
+    function of the id.
+
     Returns the (n_centroids, d) float64 centroid matrix.
     """
     import numpy as np
 
     sc = df.sparkSession.sparkContext
-    seeds = df.orderBy(id_col).limit(n_centroids)
-    _, cents = _collect_matrix(seeds, id_col, vec_col)
-
-    base = df.select(
-        F.col(id_col), F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec")
-    )
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    assign_schema = StructType(
-        [
-            StructField(id_col, LongType()),
-            StructField("list_id", LongType()),
-            StructField("rank", LongType()),
-        ]
-    )
-    for _ in range(n_iter):
-        b = sc.broadcast(cents)
-        assigned = base.mapInPandas(_make_assigner(b, 1, id_col), schema=assign_schema)
-        means = (
-            base.join(assigned.select(id_col, "list_id"), id_col)
-            .select("list_id", F.posexplode("__vec").alias("dim", "val"))
-            .groupBy("list_id", "dim")
-            .agg(F.avg("val").alias("m"))
-            .collect()
+    train = df.select(id_col, vec_col)
+    n = train.count()
+    if n > max_train_rows:
+        # md5-prefix threshold at 4 hex digits (~1/65536 granularity)
+        thresh = format(max(1, int(65536 * max_train_rows / n)), "04x")
+        train = train.filter(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < thresh
         )
-        new = cents.copy()  # lists that lost every member keep their seed
-        for r in means:
-            new[r["list_id"], r["dim"]] = r["m"]
-        norms = np.linalg.norm(new, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        cents = new / norms
-        b.destroy()
+    seeds = train.orderBy(id_col).limit(n_centroids)
+    _, cents = _collect_matrix(seeds, id_col, vec_col)
+    if len(cents) < n_centroids:
+        raise ValueError(
+            f"training sample has {len(cents)} rows < n_centroids={n_centroids}; "
+            "raise max_train_rows"
+        )
+
+    base = train.select(
+        F.col(id_col), F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec")
+    ).persist()
+    try:
+        for _ in range(n_iter):
+            b = sc.broadcast(cents)
+            partials = base.mapInPandas(
+                _make_mean_partialer(b), schema="list_id long, n long, vsum array<double>"
+            ).collect()
+            b.destroy()
+            sums = np.zeros_like(cents)
+            counts = np.zeros(len(cents), dtype="int64")
+            # sort partials so the float reduction order is run-stable
+            for r in sorted(partials, key=lambda r: (r["list_id"], tuple(r["vsum"]))):
+                sums[r["list_id"]] += np.asarray(r["vsum"])
+                counts[r["list_id"]] += r["n"]
+            new = cents.copy()  # lists that lost every member keep their seed
+            nz = counts > 0
+            new[nz] = sums[nz] / counts[nz, None]
+            norms = np.linalg.norm(new, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cents = new / norms
+    finally:
+        base.unpersist()
     return cents
 
 
@@ -391,14 +533,17 @@ def ivf_search(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int = 4096,
 ) -> DataFrame:
     """IVF ANN top-k: train the coarse quantizer on the corpus, bucket
     corpus vectors into their nearest inverted list, probe each query's
     ``nprobe`` nearest lists, and run exact cosine only inside probed
     lists. Returns (query_id, neighbor_id, cosine_sim, rnk).
 
-    Scale notes: the corpus is scanned twice (train assignment + final
-    bucketing) and shuffled ONCE on list_id; queries fan out nprobe rows
+    Scale notes: training scans only the cached md5-hash sample
+    (≤ max_train_rows) per Lloyd round; the full corpus is scanned once
+    for the final bucketing and shuffled ONCE on list_id; queries fan
+    out nprobe rows
     each and meet their lists in a single co-partitioned join —
     candidate count is nprobe/n_centroids of the corpus instead of all
     of it. Recall→1 as nprobe→n_centroids (exact at nprobe=n_centroids,
@@ -407,7 +552,7 @@ def ivf_search(
     from pyspark.sql.types import LongType, StructField, StructType
 
     sc = corpus.sparkSession.sparkContext
-    cents = ivf_train(corpus, id_col, vec_col, n_centroids, n_iter)
+    cents = ivf_train(corpus, id_col, vec_col, n_centroids, n_iter, max_train_rows)
     b = sc.broadcast(cents)
 
     schema_c = StructType(

@@ -72,19 +72,21 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 @register("embedding_dup_pairs", oracle=_DUP_PAIRS_ORACLE, tags=("similarity", "dedup"))
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), exact
-    all-pairs via the broadcast + numpy-GEMM kernel
-    (operators/similarity.py:cosine_dup_pairs_gemm) — ~20× the
-    expression-fold path, matching DuckDB's native vectorized kernel at
-    4dp (GEMM accumulation order differs in the last ulp, so 6dp
-    fold-exactness is traded for BLAS speed; the fold path remains as
-    cosine_dup_pairs).
+    all-pairs via distributed block-triangle GEMM
+    (operators/similarity.py:cosine_dup_pairs_blocked): ids hash into
+    blocks, every block pair runs one numpy GEMM inside a cogrouped
+    applyInPandas — nothing collects to the driver, so the operator has
+    no corpus-size ceiling (the broadcast kernel
+    cosine_dup_pairs_gemm remains as an explicit small-corpus fast
+    path, and the 6dp expression-fold path as cosine_dup_pairs).
 
-    Scale notes: the corpus matrix broadcasts like a dim table (bounded
-    ≤2·10⁵ rows); each partition multiplies its block map-side. Beyond
-    that, block with ann_lsh_candidates first.
+    Scale notes: shuffle volume (n_blocks+1)·n rows, per-task memory
+    two block slices — size n_blocks to the task budget
+    (10⁸×128d @ 512 MB → ~400 blocks). Exact at any scale, unlike
+    LSH blocking.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.cosine_dup_pairs_gemm(emb, threshold=0.4, round_to=4)
+    return sim.cosine_dup_pairs_blocked(emb, threshold=0.4, round_to=4, n_blocks=4)
 
 
 # ---------------------------------------------------------------------------
@@ -134,4 +136,6 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim.ivf_search(emb, queries, k=5, nprobe=4, n_centroids=8, n_iter=5)
+    return sim.ivf_search(
+        emb, queries, k=5, nprobe=4, n_centroids=8, n_iter=3, max_train_rows=2048
+    )

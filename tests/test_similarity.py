@@ -82,3 +82,22 @@ def test_ivf_train_deterministic(spark, sf_smoke):
     c1 = sim.ivf_train(emb, n_centroids=4, n_iter=2)
     c2 = sim.ivf_train(emb, n_centroids=4, n_iter=2)
     assert np.allclose(c1, c2, atol=0)
+
+
+def test_blocked_gemm_equals_broadcast_gemm(spark, sf_smoke):
+    # the distributed block-triangle path must reproduce the broadcast
+    # kernel exactly (same normalize/GEMM/round float shape), for any
+    # block count — including blocks larger than the corpus hash range
+    emb = _t(spark, sf_smoke, "embeddings")
+    want = {
+        (r.id_1, r.id_2, r.cosine_sim)
+        for r in sim.cosine_dup_pairs_gemm(emb, threshold=0.4, round_to=4).collect()
+    }
+    for nb in (1, 3, 8):
+        got = {
+            (r.id_1, r.id_2, r.cosine_sim)
+            for r in sim.cosine_dup_pairs_blocked(
+                emb, threshold=0.4, round_to=4, n_blocks=nb
+            ).collect()
+        }
+        assert got == want, f"n_blocks={nb}: {len(got)} vs {len(want)} pairs"
