@@ -38,10 +38,23 @@ def train_predict_global(
     label_col: str = LABEL_COL,
     max_iter: int = 100,
     max_depth: int = 5,
+    train_partitions: int | None = None,
 ) -> DataFrame:
     """MLlib GBTRegressor trained on the distributed feature frame;
     returns the input plus ``predicted_transactions``
-    (reference M1-M3 → SURVEY.md §2.11 mapping)."""
+    (reference M1-M3 → SURVEY.md §2.11 mapping).
+
+    The assembled frame is persisted before ``fit`` so (a) the upstream
+    feature pipeline (window functions over the fact table) is computed
+    once, not once for training and again for the prediction pass, and
+    (b) boosting iterations hit cached blocks. Pass ``train_partitions``
+    when the feature frame is small relative to the cluster: every GBT
+    iteration runs several jobs (one per tree level), so a 28k-row frame
+    in 32 partitions pays ~50 jobs × 32 near-empty tasks of pure
+    scheduler overhead; a handful of right-sized partitions halves wall
+    time. Leave None at real scale — there the default partitioning is
+    the right one.
+    """
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import GBTRegressor
 
@@ -49,6 +62,9 @@ def train_predict_global(
         inputCols=list(feature_cols), outputCol="__features", handleInvalid="keep"
     )
     assembled = assembler.transform(features)
+    if train_partitions is not None:
+        assembled = assembled.repartition(train_partitions)
+    assembled = assembled.persist()
     model = GBTRegressor(
         featuresCol="__features",
         labelCol=label_col,

@@ -73,10 +73,21 @@ def salted_join(
     every (key, salt) finds its match. Equivalent results to
     ``left.join(right, on, how)`` for one-row-per-key right sides.
 
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated, so right/full-outer would emit each UNMATCHED right row
+    n_salts times (matched rows are fine under any how — each left row
+    still meets each right row exactly once, on its own salt).
+
     AQE's skew-join split handles sort-merge skew automatically; salting
     remains the tool when the skew is in a HASH aggregate feeding the
     join or when AQE can't split (e.g. bucketed inputs).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left'}}, got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows "
+            "n_salts times under right/full-outer semantics"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.withColumn(

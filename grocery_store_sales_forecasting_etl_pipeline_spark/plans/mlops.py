@@ -37,6 +37,9 @@ def forecast_weekly_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col=_LABEL,
         max_iter=10,
         max_depth=4,
+        # the sf0.1 feature frame is ~29k rows: a few fat partitions beat
+        # 32 near-empty tasks × ~50 boosting jobs of scheduler overhead
+        train_partitions=4,
     )
     return out.select(
         "suppkey",

@@ -61,6 +61,7 @@ def partition_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     partition_cols: Sequence[str],
+    check_key_movement: bool = False,
 ) -> int:
     """Partition-scoped upsert: merge ``updates`` into only the
     partitions they touch, leaving every other partition untouched
@@ -68,27 +69,54 @@ def partition_upsert(
 
     Returns rows written. ``partition_cols`` must be the table's
     partitioning; update rows must carry them.
+
+    Key-stability contract: a key is assumed to stay in its partition
+    (the norm for date-partitioned facts, where the partition column is
+    part of the key). If an update row re-homes an existing key to a
+    DIFFERENT partition, the stale copy in the old partition survives —
+    only affected partitions are scanned. Pass
+    ``check_key_movement=True`` to detect that case and raise; it costs
+    a scan of the unaffected partitions, which is exactly what this
+    operator otherwise avoids, so it is opt-in.
     """
     # the affected-partition set is small by construction (a daily batch
     # touches a few partitions) — broadcast it as a semi-join filter
     affected = updates.select(*partition_cols).distinct()
     target = spark.table(table)
+    if check_key_movement:
+        moved = (
+            target.join(F.broadcast(affected), on=list(partition_cols), how="left_anti")
+            .join(updates.select(*keys).distinct(), on=list(keys), how="left_semi")
+        )
+        if moved.limit(1).count() > 0:
+            raise ValueError(
+                "partition_upsert: update keys exist in partitions outside the "
+                "update batch (cross-partition key movement); use merge_upsert "
+                "or delete the old rows first"
+            )
     old_affected = target.join(F.broadcast(affected), on=list(partition_cols), how="left_semi")
     kept = old_affected.join(updates.select(*keys), on=list(keys), how="left_anti")
     # USING-joins move key columns first; insertInto is POSITIONAL —
     # restore the table's column order explicitly
     merged = kept.unionByName(updates.select(*target.columns)).select(*target.columns)
-    merged.cache()
-    n = merged.count()
+    # REAL materialization barrier (merge_upsert's __staged pattern): the
+    # merged plan reads the same partitions the dynamic overwrite below
+    # rewrites. cache()+count() is NOT a barrier — lost cached blocks
+    # (executor failure/eviction) would recompute from the
+    # partially-overwritten source and silently corrupt the table.
+    staged_name = f"{table}__staged_parts"
+    merged.write.mode("overwrite").format("parquet").saveAsTable(staged_name)
+    staged = spark.table(staged_name)
+    n = staged.count()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         # insertInto with dynamic mode: only partitions present in
-        # `merged` are overwritten
-        merged.write.mode("overwrite").insertInto(table)
+        # `staged` are overwritten
+        staged.select(*target.columns).write.mode("overwrite").insertInto(table)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    merged.unpersist()
+    spark.sql(f"DROP TABLE {staged_name}")
     return n
 
 

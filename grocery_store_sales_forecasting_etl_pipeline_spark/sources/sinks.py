@@ -9,9 +9,31 @@ the pruning story (year/month dirs → partition pruning)."""
 
 from __future__ import annotations
 
+import importlib.util
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def delta_enabled(spark: SparkSession) -> bool:
+    """True when this session can actually write Delta: the
+    ``delta-spark`` package is importable AND the session was built with
+    the Delta SQL extension (importability alone is not enough — without
+    the extension/catalog confs the write fails at commit time)."""
+    if importlib.util.find_spec("delta") is None:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def resolve_format(df: DataFrame, fmt: str | None) -> str:
+    """Format-pluggable sink policy (reference writes
+    ``format("delta")`` unconditionally, bronze_ingestion.py.py:27-29):
+    an explicit ``fmt`` wins; ``None`` selects delta when the session
+    supports it, else parquet — so the same pipeline code gets
+    OPTIMIZE/VACUUM/MERGE-capable tables where delta-spark is installed
+    and portable parquet everywhere else."""
+    return fmt if fmt is not None else ("delta" if delta_enabled(df.sparkSession) else "parquet")
 
 
 def write_partitioned(
@@ -19,15 +41,19 @@ def write_partitioned(
     table: str,
     partition_by: Sequence[str],
     mode: str = "overwrite",
-    fmt: str = "parquet",
+    fmt: str | None = "parquet",
 ) -> None:
-    """S6/S7: partitioned managed table (dynamic partition insert)."""
-    df.write.mode(mode).partitionBy(*partition_by).format(fmt).saveAsTable(table)
+    """S6/S7: partitioned managed table (dynamic partition insert).
+    ``fmt=None`` → delta when available (resolve_format)."""
+    df.write.mode(mode).partitionBy(*partition_by).format(
+        resolve_format(df, fmt)
+    ).saveAsTable(table)
 
 
-def write_append(df: DataFrame, table: str, fmt: str = "parquet") -> None:
-    """S8: append sink (error logs, quarantine, incremental feeds)."""
-    df.write.mode("append").format(fmt).saveAsTable(table)
+def write_append(df: DataFrame, table: str, fmt: str | None = "parquet") -> None:
+    """S8: append sink (error logs, quarantine, incremental feeds).
+    ``fmt=None`` → delta when available."""
+    df.write.mode("append").format(resolve_format(df, fmt)).saveAsTable(table)
 
 
 def write_path(
@@ -35,11 +61,12 @@ def write_path(
     path: str,
     partition_by: Sequence[str] = (),
     mode: str = "overwrite",
-    fmt: str = "parquet",
+    fmt: str | None = "parquet",
 ) -> None:
     """S9: path-based sink (object-store layouts); URI parameterized
-    rather than hard-coded (reference gold_feature.py.py:71)."""
-    w = df.write.mode(mode).format(fmt)
+    rather than hard-coded (reference gold_feature.py.py:71).
+    ``fmt=None`` → delta when available."""
+    w = df.write.mode(mode).format(resolve_format(df, fmt))
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)

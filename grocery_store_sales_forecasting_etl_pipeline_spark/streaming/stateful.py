@@ -8,7 +8,8 @@ state that no built-in windowed aggregate expresses (the statistics span
 the whole stream, not a window, and must survive batch boundaries).
 
 Scale notes: state is three doubles per key — millions of keys fit
-comfortably in the state store; the GroupStateTimeout evicts idle keys.
+comfortably in the state store; for unbounded key cardinality pass
+``timeout="ProcessingTimeTimeout"`` so idle keys are evicted.
 Batches arrive per key time-ordered within a file-ordered stream; the
 function re-sorts each batch by (ts, event_id) so replays are
 deterministic.
@@ -90,16 +91,38 @@ def _make_score_batch():
 _score_batch = _make_score_batch()
 
 
-def stateful_outliers(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+def stateful_outliers(
+    events: DataFrame, timeout: str = "NoTimeout", idle_timeout_ms: int = 3_600_000
+) -> DataFrame:
     """Flag per-user value outliers with cross-batch Welford state.
     Works on a streaming frame (update mode); each emitted row carries
-    the z-score against all prior same-user events."""
+    the z-score against all prior same-user events.
+
+    ``timeout`` maps to the GroupStateTimeout conf: ``"NoTimeout"``
+    keeps state for every key forever (state grows with key
+    cardinality); ``"ProcessingTimeTimeout"`` evicts keys idle for
+    ``idle_timeout_ms`` — the bound an unbounded-cardinality stream
+    needs (an evicted key that reappears simply restarts its statistics
+    from zero). EventTimeTimeout is not supported: the operator keeps
+    whole-stream statistics and defines no watermark.
+    """
 
     score_batch = _make_score_batch()  # dynamic → pickled by value
+    timeouts = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+    }
+    if timeout not in timeouts:
+        raise ValueError(f"timeout must be one of {sorted(timeouts)}, got {timeout!r}")
+    with_eviction = timeout == "ProcessingTimeTimeout"
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-key eviction: drop the statistics, emit nothing
+            state.remove()
+            return
         if state.exists:
             n, mean, m2 = state.get
         else:
@@ -108,11 +131,13 @@ def stateful_outliers(events: DataFrame, timeout: str = "NoTimeout") -> DataFram
             out, n, mean, m2 = score_batch(pdf, n, mean, m2)
             yield out
         state.update((n, mean, m2))
+        if with_eviction:
+            state.setTimeoutDuration(idle_timeout_ms)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=OUTLIER_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeouts[timeout],
     )

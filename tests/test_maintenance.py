@@ -91,3 +91,31 @@ def test_compact_reduces_files(spark, base_table):
     assert files_after == 1
     # values intact
     assert spark.table(base_table).filter(F.col("id") == 1).first().v == 10.0
+
+
+def test_partition_upsert_detects_cross_partition_key_movement(spark, partitioned_table):
+    # id 1 moved from 2024-01 to a new partition: the guard must refuse
+    # (the stale copy in the old partition would survive)
+    moved = spark.createDataFrame(
+        [(1, 999.0, "2024-03")], "id long, v double, month string"
+    )
+    with pytest.raises(ValueError, match="cross-partition key movement"):
+        mx.partition_upsert(
+            spark, partitioned_table, moved, keys=["id"], partition_cols=["month"],
+            check_key_movement=True,
+        )
+
+
+def test_partition_upsert_stages_before_overwrite(spark, partitioned_table):
+    updates = spark.createDataFrame(
+        [(1, 111.0, "2024-01")], "id long, v double, month string"
+    )
+    n = mx.partition_upsert(
+        spark, partitioned_table, updates, keys=["id"], partition_cols=["month"],
+        check_key_movement=True,
+    )
+    assert n == 2  # merged rows of the affected 2024-01 partition
+    # the staging table must not survive a successful run
+    assert not spark.catalog.tableExists(f"{partitioned_table}__staged_parts")
+    got = {r.id: r.v for r in spark.table(partitioned_table).collect()}
+    assert got == {1: 111.0, 2: 20.0, 3: 30.0}

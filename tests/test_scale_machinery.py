@@ -72,3 +72,64 @@ def test_incremental_load_schema_drift(spark, tmp_path):
     out = sinks.load_incremental(spark, [d1, d2])
     rows = {r.id: (r.v, r.score) for r in out.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_salted_join_rejects_outer_how(spark, sf_smoke):
+    import pytest
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+
+    li = _t(spark, sf_smoke, "lineitem").select(F.col("l_orderkey"))
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(li, li, "l_orderkey", how="full_outer")
+
+
+def test_write_path_partitioned_roundtrip(spark, sf_smoke, tmp_path):
+    # S9: real path write (partitioned) + re-read; reference
+    # gold_feature.py.py:71-76 writes a year-partitioned path
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources.sinks import write_path
+
+    orders = _t(spark, sf_smoke, "orders").withColumn("year", F.year("o_orderdate"))
+    target = str(tmp_path / "orders_by_year")
+    write_path(orders, target, partition_by=["year"])
+
+    back = spark.read.parquet(target)
+    assert back.count() == orders.count()
+    # partition dirs exist on disk and the partition column round-trips
+    years = {r.year for r in orders.select("year").distinct().collect()}
+    import pathlib
+
+    dirs = {p.name for p in pathlib.Path(target).iterdir() if p.name.startswith("year=")}
+    assert dirs == {f"year={y}" for y in years}
+    # partition pruning reaches the scan on the re-read
+    one_year = sorted(years)[0]
+    plan = back.filter(F.col("year") == one_year)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan
+
+
+def test_format_pluggable_sink(spark, sf_smoke, tmp_path):
+    import importlib.util
+
+    import pytest
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources import sinks
+
+    region = _t(spark, sf_smoke, "region")
+    have_delta = importlib.util.find_spec("delta") is not None
+    if have_delta and not sinks.delta_enabled(spark):
+        # package present but session lacks the extension: still parquet
+        assert sinks.resolve_format(region, None) == "parquet"
+    if not have_delta:
+        assert sinks.delta_enabled(spark) is False
+        assert sinks.resolve_format(region, None) == "parquet"
+        # auto mode round-trips through parquet
+        target = str(tmp_path / "auto_fmt")
+        sinks.write_path(region, target, fmt=None)
+        assert spark.read.parquet(target).count() == region.count()
+    else:  # pragma: no cover - container ships without delta-spark
+        pytest.skip("delta-spark installed: delta-side behavior covered elsewhere")
+    # explicit fmt always wins over auto-detection
+    assert sinks.resolve_format(region, "parquet") == "parquet"
+    assert sinks.resolve_format(region, "delta") == "delta"
