@@ -341,6 +341,45 @@ def lsh_sign_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def in_block_pairs_gemm(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """All same-block pairs with cosine ≥ threshold: ONE shuffle on the
+    block key, then one numpy GEMM per block inside ``applyInPandas`` —
+    replaces the self-join + per-pair expression fold (two shuffles and
+    O(pairs) JVM lambda evaluations) for in-bucket/in-list scoring.
+
+    Per-task memory is one block's vectors; block granularity is the
+    caller's lever (LSH n_planes, IVF n_centroids)."""
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        m = np.array(list(pdf[vec_col]), dtype="float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, round_to)
+        li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_1": ids[li], "id_2": ids[ri], "cosine_sim": sims[li, ri]}
+        )
+
+    base = df.select(
+        F.col(block_col),
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias(vec_col),
+    )
+    return base.groupBy(block_col).applyInPandas(
+        kernel, schema="id_1 long, id_2 long, cosine_sim double"
+    )
+
+
 def lsh_ann_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -349,17 +388,21 @@ def lsh_ann_candidates(
     threshold: float = 0.8,
     n_tables: int = 1,
 ) -> DataFrame:
-    """ANN near-dup pairs: LSH-bucket then exact cosine inside buckets.
+    """ANN near-dup pairs: LSH-bucket then exact cosine inside buckets
+    (per-bucket GEMM — one shuffle per table, no self-join).
 
     Single-table recall for sign-LSH is (1 - θ/π)^n_planes per pair;
     ``n_tables`` independent plane sets union their candidates (standard
     multi-table amplification: recall → 1-(1-r)^T) at T× bucketing cost.
     """
+    dim = len(df.select(vec_col).first()[0])  # one probe job, not one per table
     out = None
     for t in range(n_tables):
-        buckets = lsh_sign_buckets(df, id_col, vec_col, n_planes, table_id=t)
+        buckets = lsh_sign_buckets(df, id_col, vec_col, n_planes, dim=dim, table_id=t)
         blocked = df.join(buckets, id_col)
-        pairs = cosine_dup_pairs(blocked, id_col, vec_col, threshold, block_col="bucket")
+        pairs = in_block_pairs_gemm(
+            blocked, "bucket", id_col, vec_col, threshold, round_to=6
+        )
         out = pairs if out is None else out.unionByName(pairs)
     return out.distinct()
 
