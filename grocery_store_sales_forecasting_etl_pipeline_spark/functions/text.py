@@ -120,3 +120,35 @@ def langid(col: str | Column) -> Column:
     for lang in reversed(list(scores)):
         expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
     return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene: strip contact info before training)
+# ---------------------------------------------------------------------------
+
+# conservative, engine-portable regexes (same semantics in Java regex and
+# DuckDB's RE2): emails, IPv4 addresses, international-ish phone numbers
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+[0-9]{1,3}([- ][0-9]{3,4}){2,3}", "<PHONE>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace emails / IPv4 addresses / +international phone numbers
+    with placeholder tokens — chained ``regexp_replace`` JVM scalars, so
+    redaction over 100 TB is map-only inside codegen. Pattern order
+    matters (emails before IPs: 'a@1.2.3.4' redacts as one email)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-category PII hit counts ({name: Column}) for audit metrics."""
+    return {
+        name: F.regexp_count(col if isinstance(col, Column) else F.col(col), F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }

@@ -464,3 +464,69 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "detected_lang", "n_tokens", "quality_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene): emails / IPs / phones -> tokens
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+_PII_PHONE = r"\+[0-9]{1,3}([- ][0-9]{3,4}){2,3}"
+
+# deterministic synthetic PII appended per doc so redaction has real work
+# to do on the synthetic corpus (both engines build the identical string)
+_PII_REDACTION_ORACLE = f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip ' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.0.1 tel +1-555-0199' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)    AS n_ips,
+  CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM salted
+"""
+
+
+@register("doc_pii_redaction", oracle=_PII_REDACTION_ORACLE, tags=("text",))
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents (functions/text.py:redact_pii):
+    emails, IPv4 addresses, and international phone numbers replaced
+    with placeholder tokens, plus per-category audit counts — the
+    pre-training hygiene pass every published corpus pipeline runs.
+    Deterministic synthetic PII is appended per doc (id-derived email /
+    ip / phone) so the redaction is exercised on the synthetic corpus;
+    the oracle builds the identical salted string.
+
+    Scale notes: chained regexp_replace + regexp_count are JVM scalars
+    inside whole-stage codegen — map-only over the corpus, no shuffle,
+    no Python.
+    """
+    d = _t(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip "),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.0.1 tel +1-555-0199"),
+        ).alias("text"),
+    )
+    counts = T.pii_counts("text")
+    return salted.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["ipv4"].cast("long").alias("n_ips"),
+        counts["phone"].cast("long").alias("n_phones"),
+        T.redact_pii("text").alias("redacted"),
+    )

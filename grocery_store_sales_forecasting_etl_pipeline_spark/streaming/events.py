@@ -131,6 +131,52 @@ def run_to_memory(
     q.awaitTermination()
 
 
+def stream_upsert_to_table(
+    spark: SparkSession,
+    result: DataFrame,
+    table: str,
+    keys: tuple[str, ...],
+    partition_cols: tuple[str, ...] = (),
+    checkpoint_dir: str | None = None,
+) -> None:
+    """foreachBatch sink: keyed-upsert each micro-batch into ``table``
+    (merge_upsert, or partition_upsert when ``partition_cols`` given) —
+    the incremental-ingest pattern that turns Structured Streaming's
+    at-least-once batch delivery into exactly-once TABLE state: a
+    replayed micro-batch re-upserts the same keys and the table is
+    unchanged (idempotence), unlike an append sink which would
+    duplicate.
+
+    Runs with trigger=availableNow (drain-all, blocking) — a continuous
+    deployment passes a processingTime trigger instead. Scale notes: per
+    micro-batch cost is the upsert's (partition-scoped rewrite when
+    ``partition_cols`` bound it); the checkpoint tracks source progress
+    so restarts resume, and replays are safe by construction.
+    """
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources import maintenance
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not spark.catalog.tableExists(table):
+            w = batch_df.write.mode("overwrite").format("parquet")
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.saveAsTable(table)
+        elif partition_cols:
+            maintenance.partition_upsert(
+                spark, table, batch_df, keys=list(keys), partition_cols=list(partition_cols)
+            )
+        else:
+            maintenance.merge_upsert(spark, table, batch_df, keys=list(keys))
+
+    writer = result.writeStream.foreachBatch(do_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, on: str, how: str = "left") -> DataFrame:
     """Stream–static join: enrich a (possibly streaming) event frame
     with a static dimension table. Spark plans this as a broadcast (or

@@ -122,3 +122,34 @@ def test_stream_static_enrich_matches_batch(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_upsert_idempotent_replay(spark, events_dir, tmp_path):
+    # foreachBatch keyed upsert: draining the same source twice (fresh
+    # checkpoint = full replay) must leave the table identical — the
+    # exactly-once-effect property an append sink lacks
+    spark.sql("CREATE DATABASE IF NOT EXISTS supsert")
+    table = "supsert.events_latest"
+    try:
+        batch = spark.read.parquet(events_dir)
+        expect = batch.dropDuplicates(["event_id"]).count()
+
+        def drain(cp: str) -> None:
+            stream = ev.stream_events(spark, events_dir, max_files_per_trigger=2)
+            ev.stream_upsert_to_table(
+                spark,
+                stream,
+                table,
+                keys=("event_id",),
+                checkpoint_dir=str(tmp_path / cp),
+            )
+
+        drain("cp1")
+        first = spark.table(table).count()
+        assert first == expect
+        drain("cp2")  # full replay with a fresh checkpoint
+        again = spark.table(table)
+        assert again.count() == expect
+        assert again.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    finally:
+        spark.sql("DROP DATABASE supsert CASCADE")
