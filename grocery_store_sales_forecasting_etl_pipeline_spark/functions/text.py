@@ -61,6 +61,18 @@ def shingles(col: str | Column, k: int = 2) -> Column:
     return F.array_distinct(gram)
 
 
+def ngrams(col: str | Column, k: int = 2) -> Column:
+    """ALL word k-grams in order (non-distinct, unlike ``shingles``) —
+    the multiset repetition metrics need every occurrence. 1-indexed
+    transform so the same expression is writable in ANSI SQL."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+
+
 def fingerprint(col: str | Column) -> Column:
     """Deterministic document fingerprint: md5 of the lower-cased,
     whitespace-collapsed text. Stable across engines (md5 is md5)."""
