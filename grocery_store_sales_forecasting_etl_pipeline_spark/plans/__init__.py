@@ -6,10 +6,10 @@ with (a) a PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame`` and
 (b) where SQL-expressible, an equivalent DuckDB oracle SQL string over the
 same parquet tables.
 
-Import order determines REGISTRY (and hence driver adjudication) order:
-the flagship batch first, then the LLM-training-data stack (text dedup,
-similarity, streaming, multimodal, ML) so it sits early inside the
-driver's bounded query window, then the broader relational surface.
+``queries_map()`` exposes ALL registered queries; its iteration order is a
+mechanical least-recently-externally-adjudicated rotation (see
+``registry._rotation_order``), so nothing here depends on import order
+beyond registration completeness.
 """
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (

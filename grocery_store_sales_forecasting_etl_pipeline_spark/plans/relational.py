@@ -285,7 +285,7 @@ LIMIT 25
 """
 
 
-@register("topk_orders", oracle=_TOPK_ORACLE, tags=("sort",), driver=False)
+@register("topk_orders", oracle=_TOPK_ORACLE, tags=("sort",))
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 orders by price, orderkey tie-break.
 

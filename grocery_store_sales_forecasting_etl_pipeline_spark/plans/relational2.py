@@ -239,7 +239,7 @@ GROUP BY o_orderstatus
 """
 
 
-@register("conditional_agg", oracle=_COND_AGG_ORACLE, tags=("agg",), driver=False)
+@register("conditional_agg", oracle=_COND_AGG_ORACLE, tags=("agg",))
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Status-level aggregates with CASE-filtered measures — N filtered
     metrics in ONE scan/shuffle instead of N scans.
@@ -394,7 +394,7 @@ WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
 """
 
 
-@register("ranked_running", oracle=_RANKED_RUNNING_ORACLE, tags=("window",), driver=False)
+@register("ranked_running", oracle=_RANKED_RUNNING_ORACLE, tags=("window",))
 def ranked_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user purchase sequence: time-ordered row_number + cumulative
     value, and value-ranked rank/dense_rank.

@@ -70,7 +70,7 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
-@register("cube_volume", oracle=_CUBE_ORACLE, tags=("agg",), driver=False)
+@register("cube_volume", oracle=_CUBE_ORACLE, tags=("agg",))
 def cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping sets in one
     hash-aggregate pass (operators/aggregates.py:cube_agg)."""

@@ -84,8 +84,9 @@ def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Array-typed variant kept out of the driver registry (its canonicalizer
-# cannot hash list cells) but oracle-compared in pytest via the local
+# Array-typed variant: exposed to the driver (rows-only — its
+# canonicalizer cannot hash list cells; r1 "unhashable type: 'list'"
+# evidence on array_agg_ops) and oracle-compared in pytest via the local
 # harness, which serializes lists itself.
 _ARRAY_AGG_ARRAYS_ORACLE = """
 SELECT
@@ -99,12 +100,15 @@ GROUP BY user_id
 
 
 @register(
-    "array_agg_arrays", oracle=_ARRAY_AGG_ARRAYS_ORACLE, tags=("agg", "array"), driver=False
+    "array_agg_arrays",
+    oracle=_ARRAY_AGG_ARRAYS_ORACLE,
+    tags=("agg", "array"),
+    driver_oracle=False,
 )
 def array_agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-typed collect_list/collect_set results (pytest-only: the
-    driver cannot hash list cells; see array_agg_ops for the
-    driver-facing string-serialized form)."""
+    """Array-typed collect_list/collect_set results (driver sees rows-only:
+    its canonicalizer cannot hash list cells; see array_agg_ops for the
+    hash-matched string-serialized form; value parity pinned in pytest)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 1020)
     return ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list("event_id")).alias("event_ids"),
@@ -132,7 +136,7 @@ WHERE p_retailprice > 0
 """
 
 
-@register("math_funcs", oracle=_MATH_ORACLE, tags=("functions", "math"), driver=False)
+@register("math_funcs", oracle=_MATH_ORACLE, tags=("functions", "math"))
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar block: abs/ceil/floor/sqrt/ln/pow/mod/sign (IEEE
     doubles agree with DuckDB's libm at 6dp on this domain)."""

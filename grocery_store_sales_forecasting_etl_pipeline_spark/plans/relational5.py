@@ -102,7 +102,7 @@ WHERE CAST(value_dec AS DOUBLE) >
 """
 
 
-@register("important_parts", oracle=_IMPORTANT_PARTS_ORACLE, tags=("agg", "subquery", "tpch"), driver=False)
+@register("important_parts", oracle=_IMPORTANT_PARTS_ORACLE, tags=("agg", "subquery", "tpch"))
 def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts whose revenue exceeds 0.065% of global revenue (TPC-H Q11
     shape). The scalar subquery over the SAME aggregation decorrelates
@@ -150,7 +150,7 @@ WHERE total_dec = (SELECT max(total_dec) FROM revenue)
 """
 
 
-@register("top_revenue_supplier", oracle=_TOP_SUPPLIER_ORACLE, tags=("agg", "subquery", "tpch"), driver=False)
+@register("top_revenue_supplier", oracle=_TOP_SUPPLIER_ORACLE, tags=("agg", "subquery", "tpch"))
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) with the maximum 1997 revenue (TPC-H Q15 shape).
     The view-then-scalar-max decorrelates to: aggregate once, take the
@@ -254,7 +254,7 @@ GROUP BY s_name
 """
 
 
-@register("lone_late_supplier", oracle=_LONE_LATE_ORACLE, tags=("join", "subquery", "tpch"), driver=False)
+@register("lone_late_supplier", oracle=_LONE_LATE_ORACLE, tags=("join", "subquery", "tpch"))
 def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers solely responsible for late multi-supplier finished
     orders (TPC-H Q21 shape): EXISTS another supplier's lineitem in the

@@ -113,7 +113,7 @@ GROUP BY lang
 """
 
 
-@register("stratified_sample", oracle=_STRATIFIED_ORACLE, tags=("sampling",), driver=False)
+@register("stratified_sample", oracle=_STRATIFIED_ORACLE, tags=("sampling",))
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sample: downweight the majority language
     (en: 32/256 ≈ 12.5%) and keep half of everything else (128/256) —

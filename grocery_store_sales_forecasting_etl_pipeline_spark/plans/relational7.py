@@ -57,7 +57,7 @@ GROUP BY n_name
 """
 
 
-@register("region_nation_revenue", oracle=_REGION_NATION_ORACLE, tags=("join", "agg", "tpch"), driver=False)
+@register("region_nation_revenue", oracle=_REGION_NATION_ORACLE, tags=("join", "agg", "tpch"))
 def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation for ASIA-local 1996 commerce —
     six tables, with the non-key equi-condition c_nationkey =
@@ -176,7 +176,7 @@ LIMIT 20
 """
 
 
-@register("returned_item_customers", oracle=_RETURNED_ORACLE, tags=("join", "agg", "sort", "tpch"), driver=False)
+@register("returned_item_customers", oracle=_RETURNED_ORACLE, tags=("join", "agg", "sort", "tpch"))
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
     1997H1 — fact-fact join, dim chain, group, ordered top-k with a

@@ -144,7 +144,7 @@ UNPIVOT (total FOR status_col IN (f_total, o_total, p_total))
 """
 
 
-@register("unpivot_status_totals", oracle=_UNPIVOT_ORACLE, tags=("agg", "pivot"), driver=False)
+@register("unpivot_status_totals", oracle=_UNPIVOT_ORACLE, tags=("agg", "pivot"))
 def unpivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide → long: per-priority totals by order status pivoted wide
     (conditional aggregation), then melted back with ``unpivot`` —
@@ -246,7 +246,7 @@ GROUP BY 1, 2
 """
 
 
-@register("cohort_retention", oracle=_COHORT_ORACLE, tags=("agg", "events", "timeseries"), driver=False)
+@register("cohort_retention", oracle=_COHORT_ORACLE, tags=("agg", "events", "timeseries"))
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by the Monday of their
     first-event week, counted distinct per whole-week offset since their
@@ -291,7 +291,7 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
 """
 
 
-@register("intersect_customers", oracle=_INTERSECT_ORACLE, tags=("setops",), driver=False)
+@register("intersect_customers", oracle=_INTERSECT_ORACLE, tags=("setops",))
 def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers active in BOTH 1996 and 1998 — INTERSECT distinct
     semantics (Catalyst plans it as dedup + left-semi, one shuffle on
@@ -319,7 +319,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
-@register("grouping_sets_volume", oracle=_GSETS_ORACLE, tags=("agg",), driver=False)
+@register("grouping_sets_volume", oracle=_GSETS_ORACLE, tags=("agg",))
 def grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS ((returnflag), (linestatus)) — two
     independent single-column breakdowns in one pass, a shape neither
