@@ -49,13 +49,25 @@ def distinct_token_count(col: str | Column) -> Column:
     return F.size(F.array_distinct(tokens(col))).cast("long")
 
 
+def _gram_index(t: Column, k: int) -> Column:
+    """1-based start indices of the k-grams of token array ``t``, empty
+    when the doc has fewer than k tokens. The guard matters:
+    ``sequence(1, size-1)`` with size < k would produce a DESCENDING
+    sequence (e.g. ``sequence(1, 0) = [1, 0]``) and ``element_at(t, 0)``
+    raises INVALID_INDEX_OF_ZERO, failing the whole query on one short
+    document. DuckDB's ``generate_series(1, n)`` is empty for n < 1, so
+    the guard also keeps Spark aligned with the oracle SQL."""
+    return F.when(
+        F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles(col: str | Column, k: int = 2) -> Column:
     """Distinct word k-gram shingles. 1-indexed transform so the same
     expression is writable in ANSI SQL (element_at semantics)."""
     t = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
     gram = F.transform(
-        idx,
+        _gram_index(t, k),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
     )
     return F.array_distinct(gram)
@@ -66,9 +78,8 @@ def ngrams(col: str | Column, k: int = 2) -> Column:
     the multiset repetition metrics need every occurrence. 1-indexed
     transform so the same expression is writable in ANSI SQL."""
     t = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
     return F.transform(
-        idx,
+        _gram_index(t, k),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
     )
 

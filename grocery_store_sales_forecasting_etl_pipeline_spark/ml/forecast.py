@@ -65,18 +65,29 @@ def train_predict_global(
     if train_partitions is not None:
         assembled = assembled.repartition(train_partitions)
     assembled = assembled.persist()
-    model = GBTRegressor(
-        featuresCol="__features",
-        labelCol=label_col,
-        maxIter=max_iter,
-        maxDepth=max_depth,
-        seed=42,
-    ).fit(assembled)
-    return (
-        model.transform(assembled)
-        .withColumn(PREDICTION_COL, F.col("prediction"))
-        .drop("__features", "prediction")
-    )
+    try:
+        model = GBTRegressor(
+            featuresCol="__features",
+            labelCol=label_col,
+            maxIter=max_iter,
+            maxDepth=max_depth,
+            seed=42,
+        ).fit(assembled)
+        pred = (
+            model.transform(assembled)
+            .withColumn(PREDICTION_COL, F.col("prediction"))
+            .drop("__features", "prediction")
+        )
+        # Materialize the prediction BEFORE releasing the cache, or the
+        # returned lazy frame would recompute the whole upstream feature
+        # pipeline uncached at collect time. localCheckpoint truncates
+        # lineage and its blocks are reference-counted (GC-cleaned when
+        # the caller drops the frame) — unlike CacheManager entries from
+        # persist(), which otherwise pin executor memory for the whole
+        # session across repeated calls.
+        return pred.localCheckpoint(eager=True)
+    finally:
+        assembled.unpersist()
 
 
 def train_predict_per_group(

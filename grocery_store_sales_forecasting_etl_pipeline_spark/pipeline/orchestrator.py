@@ -142,14 +142,16 @@ def run_all(
             res.detail = f"upstream stage '{failed_stage.stage}' failed"
             continue
         t0 = time.perf_counter()
-        last_exc: BaseException | None = None
+        last_exc: Exception | None = None
         for attempt in range(1, max_attempts + 1):
             res.attempts = attempt
             try:
                 fn()
                 last_exc = None
                 break
-            except BaseException as exc:  # noqa: BLE001 — logged + re-raised below
+            # Exception only: KeyboardInterrupt/SystemExit must abort the
+            # pipeline immediately, not be retried max_attempts times.
+            except Exception as exc:  # noqa: BLE001 — logged + re-raised below
                 last_exc = exc
         res.seconds = round(time.perf_counter() - t0, 3)
         if last_exc is None:

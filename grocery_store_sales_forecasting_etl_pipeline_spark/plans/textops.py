@@ -56,6 +56,73 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repetition metrics (duplicate n-gram fractions, Gopher-style)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+    list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i + 1]) AS bg,
+    list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS tg
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(len(bg) AS BIGINT)  AS n_bigrams,
+  CASE WHEN len(bg) > 0
+       THEN round((len(bg) - len(list_distinct(bg))) * 1.0 / len(bg), 4)
+       ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(tg) > 0
+       THEN round((len(tg) - len(list_distinct(tg))) * 1.0 / len(tg), 4)
+       ELSE 0.0 END AS dup_trigram_frac
+FROM g
+"""
+
+
+@register("doc_repetition", oracle=_REPETITION_ORACLE, tags=("text",))
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram fractions per document — the published
+    repetition-quality signal (Gopher-style "fraction of duplicate
+    2-grams/3-grams"): heavily templated or looping documents score
+    high and are filtered before training (generalizes the reference's
+    quality-gate intent, test_data_quality.py.py:13-94, to corpus text).
+
+    Uses the NON-distinct ``functions/text.py:ngrams`` multiset (unlike
+    ``shingles``) because repetition needs every occurrence counted.
+
+    Scale notes: all array-side JVM expressions (size/array_distinct over
+    transform) fused with the scan — map-only over 100 TB, no shuffle,
+    no explode; per-row cost bounded by document length.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bg = T.ngrams("text", 2)
+    tg = T.ngrams("text", 3)
+
+    def _dup_frac(arr):  # (size - distinct size) / size, 0.0 for empty
+        return (
+            F.when(
+                F.size(arr) > 0,
+                F.round(
+                    (F.size(arr) - F.size(F.array_distinct(arr))) / F.size(arr), 4
+                ),
+            )
+            .otherwise(F.lit(0.0))
+        )
+
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(bg).cast("long").alias("n_bigrams"),
+        _dup_frac(bg).alias("dup_bigram_frac"),
+        _dup_frac(tg).alias("dup_trigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality score + language ID (heuristic, deterministic)
 # ---------------------------------------------------------------------------
 

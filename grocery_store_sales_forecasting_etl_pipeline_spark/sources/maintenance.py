@@ -24,6 +24,7 @@ here unchanged.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -104,19 +105,25 @@ def partition_upsert(
     # rewrites. cache()+count() is NOT a barrier — lost cached blocks
     # (executor failure/eviction) would recompute from the
     # partially-overwritten source and silently corrupt the table.
-    staged_name = f"{table}__staged_parts"
+    # per-run unique suffix: two concurrent upserts on the same table must
+    # not share a staged name (the second overwrite would clobber the
+    # first's materialization barrier mid-flight)
+    staged_name = f"{table}__staged_parts_{uuid.uuid4().hex[:12]}"
     merged.write.mode("overwrite").format("parquet").saveAsTable(staged_name)
-    staged = spark.table(staged_name)
-    n = staged.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # insertInto with dynamic mode: only partitions present in
-        # `staged` are overwritten
-        staged.select(*target.columns).write.mode("overwrite").insertInto(table)
+        staged = spark.table(staged_name)
+        n = staged.count()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # insertInto with dynamic mode: only partitions present in
+            # `staged` are overwritten
+            staged.select(*target.columns).write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.sql(f"DROP TABLE {staged_name}")
+        # always drop — a failed insertInto must not leak the staged table
+        spark.sql(f"DROP TABLE IF EXISTS {staged_name}")
     return n
 
 
