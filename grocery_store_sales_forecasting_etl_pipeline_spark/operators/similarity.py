@@ -341,6 +341,38 @@ def lsh_sign_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def _subsplit_blocks(
+    base: DataFrame, block_col: str, max_block_rows: int
+) -> DataFrame:
+    """Attach (``__ns``, ``__sub``) to every row: the number of sub-blocks
+    its block was split into (⌈block_count / max_block_rows⌉) and the row's
+    secondary-hash sub-block index within [0, __ns).
+
+    The per-block count comes from one aggregation joined back on the
+    block key — the same key the downstream cogroup shuffles on, so at
+    scale the extra exchange co-partitions with work that must happen
+    anyway. Sub-block membership is a pure hash of the id (seeded with a
+    distinct literal so it decorrelates from any hash-derived block id),
+    so expected sub-block size is ≤ max_block_rows; hash imbalance can
+    exceed the cap by small factors but never recreates the one-task-
+    holds-the-block degeneracy this exists to prevent."""
+    counts = base.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bn"))
+    return (
+        base.join(counts, block_col)
+        .withColumn(
+            "__ns",
+            F.ceil(F.col("__bn") / F.lit(int(max_block_rows))).cast("int"),
+        )
+        .withColumn(
+            "__sub",
+            F.pmod(F.xxhash64(F.lit("subsplit"), F.col("__id")), F.col("__ns")).cast(
+                "int"
+            ),
+        )
+        .drop("__bn")
+    )
+
+
 def in_block_pairs_gemm(
     df: DataFrame,
     block_col: str,
@@ -348,35 +380,93 @@ def in_block_pairs_gemm(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_to: int = 6,
+    max_block_rows: int = 4096,
 ) -> DataFrame:
-    """All same-block pairs with cosine ≥ threshold: ONE shuffle on the
-    block key, then one numpy GEMM per block inside ``applyInPandas`` —
-    replaces the self-join + per-pair expression fold (two shuffles and
-    O(pairs) JVM lambda evaluations) for in-bucket/in-list scoring.
+    """All same-block pairs with cosine ≥ threshold: shuffle on the block
+    key, then numpy GEMM inside ``applyInPandas`` — replaces the
+    self-join + per-pair expression fold (two shuffles and O(pairs) JVM
+    lambda evaluations) for in-bucket/in-list scoring.
 
-    Per-task memory is one block's vectors; block granularity is the
-    caller's lever (LSH n_planes, IVF n_centroids)."""
+    Skew hardening: a degenerate corpus (many near-identical or zero
+    vectors) can land a large fraction of n in ONE block, which with a
+    naive one-task-per-block kernel becomes a single O(m²) task. Blocks
+    larger than ``max_block_rows`` are therefore sub-split by a secondary
+    id hash into s = ⌈m / max_block_rows⌉ sub-blocks and every unordered
+    sub-block pair (s1 ≤ s2) becomes its own cogroup task, GEMM'd
+    left×right — the same block-triangle decomposition as
+    ``cosine_dup_pairs_blocked``. Every in-block pair lands in exactly
+    one task (diagonal tasks dedup with id_1 < id_2; off-diagonal pairs
+    appear once because sub-blocks partition the block), so the output
+    is identical to the unsplit kernel while per-task memory stays
+    ~2·max_block_rows·d·8 bytes and per-task work ~max_block_rows²
+    regardless of skew. Pass ``max_block_rows=None`` to restore the
+    single-task-per-block fast path (one aggregation cheaper; only safe
+    when the block granularity is known bounded, e.g. IVF lists sized by
+    n_centroids)."""
 
-    def kernel(pdf):
+    def kernel(left, right):
         import numpy as np
         import pandas as pd
 
-        ids = pdf[id_col].to_numpy(dtype="int64")
-        m = np.array(list(pdf[vec_col]), dtype="float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = np.round(m @ m.T, round_to)
-        li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        empty = pd.DataFrame({"id_1": [], "id_2": [], "cosine_sim": []}).astype(
+            {"id_1": "int64", "id_2": "int64", "cosine_sim": "float64"}
+        )
+        if left.empty or right.empty:
+            return empty
+        l_ids = left["__lid"].to_numpy(dtype="int64")
+        r_ids = right["__rid"].to_numpy(dtype="int64")
+        lm = np.array(list(left["__lvec"]), dtype="float64")
+        rm = np.array(list(right["__rvec"]), dtype="float64")
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = np.round(lm @ rm.T, round_to)
+        mask = sims >= threshold
+        if left["__s1"].iat[0] == left["__s2"].iat[0]:  # diagonal: dedup
+            mask &= l_ids[:, None] < r_ids[None, :]
+        li, ri = np.nonzero(mask)
+        a, b = l_ids[li], r_ids[ri]
         return pd.DataFrame(
-            {"id_1": ids[li], "id_2": ids[ri], "cosine_sim": sims[li, ri]}
+            {
+                "id_1": np.minimum(a, b),
+                "id_2": np.maximum(a, b),
+                "cosine_sim": sims[li, ri],
+            }
         )
 
     base = df.select(
-        F.col(block_col),
-        F.col(id_col),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias(vec_col),
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec"),
     )
-    return base.groupBy(block_col).applyInPandas(
-        kernel, schema="id_1 long, id_2 long, cosine_sim double"
+    if max_block_rows is None:
+        sized = base.withColumn("__ns", F.lit(1)).withColumn("__sub", F.lit(0))
+    else:
+        sized = _subsplit_blocks(base, "__blk", max_block_rows)
+    # role A: a row of sub-block s is the LEFT side of pairs (s, s2), s2 >= s.
+    # EVERY column is re-aliased per side (including the block key): both
+    # sides descend from the same parent plan, and any attribute passed
+    # through raw on both trips the ambiguous-self-join analyzer check,
+    # while identical non-key names mis-prune the right side (see
+    # cosine_dup_pairs_blocked).
+    side_a = sized.select(
+        F.col("__blk").alias("__lblk"),
+        F.col("__id").alias("__lid"),
+        F.col("__vec").alias("__lvec"),
+        F.col("__sub").alias("__s1"),
+        F.explode(F.expr("sequence(__sub, __ns - 1)")).alias("__s2"),
+    )
+    # role B: a row of sub-block s is the RIGHT side of pairs (s1, s), s1 <= s
+    side_b = sized.select(
+        F.col("__blk").alias("__rblk"),
+        F.col("__id").alias("__rid"),
+        F.col("__vec").alias("__rvec"),
+        F.explode(F.expr("sequence(0, __sub)")).alias("__rs1"),
+        F.col("__sub").alias("__rs2"),
+    )
+    return (
+        side_a.groupBy("__lblk", "__s1", "__s2")
+        .cogroup(side_b.groupBy("__rblk", "__rs1", "__rs2"))
+        .applyInPandas(kernel, schema="id_1 long, id_2 long, cosine_sim double")
     )
 
 

@@ -84,6 +84,72 @@ def test_ivf_train_deterministic(spark, sf_smoke):
     assert np.allclose(c1, c2, atol=0)
 
 
+def test_in_block_gemm_subsplit_bounded_and_exact(spark, sf_smoke):
+    # adversarial skew: force >=50% of the corpus into ONE bucket and
+    # check (a) the sub-split plan bounds per-task rows and (b) the pair
+    # output is identical to the unsplit single-task-per-block kernel
+    import pyspark.sql.functions as F_
+
+    emb = _t(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    # hot block 0 gets every even id (>=50%); the rest spread over 8 blocks
+    skewed = emb.withColumn(
+        "blk",
+        F_.when(F_.col("vec_id") % 2 == 0, F_.lit(0)).otherwise(
+            F_.pmod(F_.col("vec_id"), F_.lit(8)) + 1
+        ),
+    )
+    unsplit = {
+        (r.id_1, r.id_2, r.cosine_sim)
+        for r in sim.in_block_pairs_gemm(
+            skewed, "blk", threshold=0.3, max_block_rows=None
+        ).collect()
+    }
+    cap = max(8, n // 20)  # far below the hot block's size -> forces splits
+    split = {
+        (r.id_1, r.id_2, r.cosine_sim)
+        for r in sim.in_block_pairs_gemm(
+            skewed, "blk", threshold=0.3, max_block_rows=cap
+        ).collect()
+    }
+    assert split == unsplit, f"{len(split)} vs {len(unsplit)} pairs"
+    # the sized frame must actually split the hot block and keep expected
+    # sub-block sizes near the cap (hash imbalance allows small overshoot)
+    base = skewed.select(
+        F_.col("blk").alias("__blk"),
+        F_.col("vec_id").alias("__id"),
+        F_.col("embedding").alias("__vec"),
+    )
+    sized = sim._subsplit_blocks(base, "__blk", cap)
+    hot_subs = sized.filter(F_.col("__blk") == 0).select("__sub").distinct().count()
+    assert hot_subs > 1, "hot block was not sub-split"
+    max_task = (
+        sized.groupBy("__blk", "__sub").count().agg(F_.max("count")).collect()[0][0]
+    )
+    assert max_task <= 2 * cap, f"sub-block of {max_task} rows exceeds 2x cap {cap}"
+
+
+def test_lsh_candidates_stable_under_bucket_cap(spark, sf_smoke):
+    # the registry query (ann_lsh_candidates) runs with the default cap;
+    # its output must match the uncapped kernel on the same buckets
+    emb = _t(spark, sf_smoke, "embeddings")
+    buckets = sim.lsh_sign_buckets(emb, n_planes=4)
+    blocked = emb.join(buckets, "vec_id")
+    capped = {
+        (r.id_1, r.id_2)
+        for r in sim.in_block_pairs_gemm(
+            blocked, "bucket", threshold=0.4, max_block_rows=16
+        ).collect()
+    }
+    uncapped = {
+        (r.id_1, r.id_2)
+        for r in sim.in_block_pairs_gemm(
+            blocked, "bucket", threshold=0.4, max_block_rows=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
 def test_blocked_gemm_equals_broadcast_gemm(spark, sf_smoke):
     # the distributed block-triangle path must reproduce the broadcast
     # kernel exactly (same normalize/GEMM/round float shape), for any
