@@ -1,9 +1,12 @@
 """Shared table loaders for registered queries.
 
-``events.parquet`` carries TIMESTAMP(NANOS) which Spark 4 refuses to read
-natively; we read nanos as long (runtime conf, safe for the other tables
-which use ms/us timestamps) and rebuild a microsecond timestamp column —
-matching DuckDB's own nanos→micros truncation when it hands rows to Python.
+``events.parquet``'s ``ts`` physical type has varied across driver data
+generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read natively —
+we read nanos as long via the legacy conf and rebuild micros, matching
+DuckDB's own nanos→micros truncation) and plain TIMESTAMP(MICROS)
+without the UTC-adjusted flag (which Spark reads directly as
+TIMESTAMP_NTZ). ``events()`` branches on the landed dtype so either
+generation yields the same TIMESTAMP_NTZ column.
 """
 
 from __future__ import annotations
@@ -29,7 +32,16 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without any local-TZ conversion).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV — float division loses precision above 2^53 ns
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-    )
+    return df.withColumn("ts", _ts_as_ntz(df))
+
+
+def _ts_as_ntz(df: DataFrame):
+    """Normalize whatever physical type ``ts`` landed as to TIMESTAMP_NTZ
+    (UTC session assumed pinned by the caller)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # nanos-as-long generation; integer DIV — float division loses
+        # precision above 2^53 ns
+        return F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    return F.col("ts").cast("timestamp_ntz")

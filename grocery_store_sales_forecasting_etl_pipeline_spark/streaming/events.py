@@ -24,8 +24,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# explicit source schema — streaming reads never infer; ts arrives as
-# nanosecond epoch (see plans/_tables.py) and is rebuilt to a timestamp
+# explicit source schema (streaming reads never infer) for the
+# nanos-as-long data generation; ts is rebuilt to a timestamp. Newer
+# generations carry native TIMESTAMP(MICROS) — raw_events_schema()
+# probes one footer (driver-side metadata op) and picks the right one.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -38,6 +40,23 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def raw_events_schema(spark: SparkSession, path: str) -> StructType:
+    """Explicit schema for a parquet events directory, probed from the
+    footers so either ts generation (nanos-as-long / native micros)
+    reads correctly. One driver metadata job; no data scan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """ts → TIMESTAMP (LTZ; watermarks reject NTZ — the caller pins the
+    session TZ to UTC so wall clocks stay deterministic), branching on
+    the landed dtype like plans/_tables._ts_as_ntz."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def stream_events(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -45,17 +64,13 @@ def stream_events(
     streams). ``max_files_per_trigger`` bounds micro-batch size (and
     makes availableNow run several batches, advancing the watermark
     between them)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # pin UTC for the LTZ rebuild — same reasoning as plans/_tables.events
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(raw_events_schema(spark, path))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(path)
-    # stays TIMESTAMP (LTZ): watermarks/event time require it
-    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ); the session TZ is
-    # pinned UTC above so wall clocks are still deterministic
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_ts(raw)
 
 
 def windowed_counts(

@@ -53,8 +53,7 @@ def test_stateful_outliers_stream_equals_batch(spark, sf_smoke, tmp_path):
 
     # batch reference: one _score_batch pass per user over all events
     batch_events = (
-        spark.read.schema(ev.EVENTS_RAW_SCHEMA).parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ev.normalize_ts(spark.read.schema(ev.raw_events_schema(spark, d)).parquet(d))
         .select("user_id", "event_id", "ts", "value")
         .toPandas()
     )

@@ -40,9 +40,8 @@ def events_dir(spark, sf_smoke, tmp_path_factory):
 
 
 def _batch_events(spark, events_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(ev.EVENTS_RAW_SCHEMA).parquet(events_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    df = spark.read.schema(ev.raw_events_schema(spark, events_dir)).parquet(events_dir)
+    return ev.normalize_ts(df)
 
 
 def test_stream_windowed_counts_equal_batch(spark, events_dir):
