@@ -193,6 +193,75 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_candidate_pairs(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    n_bands: int = 4,
+    band_bits: int = 8,
+    radius: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from 32-bit SimHash fingerprints: banded Hamming
+    blocking + exact radius verify, emitted as (id_1, id_2, hamming).
+
+    Pigeonhole guarantee: two fingerprints within Hamming distance r
+    agree EXACTLY on at least one of ``n_bands`` disjoint bands whenever
+    r < n_bands, so joining on (band_idx, band_value) and then filtering
+    ``bit_count(xor) <= radius`` loses no pair — this is exact
+    radius-``radius`` search, not approximate (require
+    ``radius < n_bands``).
+
+    Plan shape: map-only band explode (n_bands rows per doc), one
+    self-equi-join shuffle on (band_idx, band_value), distinct, then a
+    JVM bit_count filter. Cost is Σ band-bucket², never n² — the same
+    blocking economics as MinHash-LSH but over an 8-byte fingerprint
+    instead of a k×8-byte signature, which at 100 TB is the cheapest
+    shuffle payload of the three dedup families.
+    """
+    if radius >= n_bands:
+        raise ValueError(f"radius {radius} needs n_bands > radius (got {n_bands})")
+    mask = (1 << band_bits) - 1
+    bands = sim.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.shiftright(F.col(hash_col), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, hash_col, "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            F.col(f"a.{hash_col}").alias("__h1"),
+            F.col(f"b.{hash_col}").alias("__h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__h1").bitwiseXOR(F.col("__h2"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= radius)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document (Charikar sign-aggregation over
     per-token md5 bits), emitted as (id, simhash) with simhash as long.

@@ -66,6 +66,18 @@ SOURCES: tuple[tuple[str, StructType, bool], ...] = (
 
 QUARANTINE_TABLE = "logs.quarantine"
 
+# natural key per source — what an incremental re-delivery upserts on.
+# For date-partitioned facts the partition column is part of the key, so
+# partition_upsert's key-stability contract holds by construction.
+SOURCE_KEYS: dict[str, tuple[str, ...]] = {
+    "stores": ("store_nbr",),
+    "sample_submission": ("id",),
+    "oil": ("date",),
+    "holidays_events": ("date", "type", "locale", "locale_name", "description"),
+    "transactions": ("date", "store_nbr"),
+    "test": ("id",),
+}
+
 
 def run(spark: SparkSession, source_dir: str) -> dict[str, tuple[int, int]]:
     """Ingest every source CSV under ``source_dir`` (``<name>.csv``) to
@@ -82,4 +94,55 @@ def run(spark: SparkSession, source_dir: str) -> dict[str, tuple[int, int]]:
             quarantine_table=QUARANTINE_TABLE,
             partition_by_date=by_date,
         )
+    return results
+
+
+def run_incremental(
+    spark: SparkSession, source_dir: str, batch_date
+) -> dict[str, tuple[int, int]]:
+    """Ingest ONE daily folder ``<source_dir>/YYYY/MM/DD/<name>.csv``
+    (docx §Source layout), upserting into the existing ``raw.*`` tables:
+
+    - date-partitioned facts → ``partition_upsert`` keyed on the natural
+      key (only the touched year/month partitions rewrite; a re-delivered
+      batch replays idempotently and corrected values win)
+    - dimensions → ``merge_upsert`` on the natural key
+    - a source absent from the day's folder is skipped (sources deliver
+      on their own cadence), unlike the full run where absence raises
+
+    Returns {name: (rows_upserted, rows_quarantined)} for present
+    sources. Local existence probe is an ``os.path`` check; on an object
+    store this is the same single LIST the reader would do anyway.
+    """
+    import os
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources import maintenance
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources.csv_ingest import (
+        prepare_clean,
+    )
+
+    day_dir = f"{source_dir}/{batch_date:%Y/%m/%d}"
+    results: dict[str, tuple[int, int]] = {}
+    for name, schema, by_date in SOURCES:
+        path = f"{day_dir}/{name}.csv"
+        if not os.path.exists(path):
+            continue
+        clean, n_q = prepare_clean(
+            spark, path, schema, QUARANTINE_TABLE, partition_by_date=by_date
+        )
+        table = f"raw.{name}"
+        keys = list(SOURCE_KEYS[name])
+        if not spark.catalog.tableExists(table):
+            w = clean.write.mode("overwrite").format("parquet")
+            if by_date:
+                w = w.partitionBy("year", "month")
+            w.saveAsTable(table)
+            n = spark.table(table).count()
+        elif by_date:
+            n = maintenance.partition_upsert(
+                spark, table, clean, keys=keys, partition_cols=("year", "month")
+            )
+        else:
+            n = maintenance.merge_upsert(spark, table, clean, keys=keys)
+        results[name] = (n, n_q)
     return results

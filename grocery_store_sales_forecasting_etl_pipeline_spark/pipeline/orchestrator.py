@@ -107,8 +107,18 @@ def run_all(
     max_attempts: int = 1,
     on_failure: Callable[[str, BaseException], None] | None = None,
     results: dict[str, StageResult] | None = None,
+    mode: str = "full",
+    batch_date=None,
 ) -> dict[str, StageResult]:
     """Run the full DAG: setup → bronze → silver → gold → quality.
+
+    ``mode="full"`` (default) ingests ``<source_dir>/<name>.csv`` with
+    overwrite semantics. ``mode="incremental"`` ingests the daily folder
+    ``<source_dir>/YYYY/MM/DD`` for ``batch_date`` via keyed upserts
+    (``bronze.run_incremental``) — bronze partitions outside the batch
+    are untouched, replaying the same day is idempotent, and silver/gold
+    rebuild deterministically from the upserted raw state, so a replayed
+    day leaves every layer byte-identical.
 
     Fail-fast: the first stage that exhausts ``max_attempts`` writes a
     structured row to ``logs.etl_errors``, triggers ``on_failure``,
@@ -116,6 +126,10 @@ def run_all(
     Returns {stage: StageResult} (also populated into ``results`` when
     given, so callers still see per-stage status after the raise).
     """
+    if mode not in ("full", "incremental"):
+        raise ValueError(f"mode must be 'full' or 'incremental', got {mode!r}")
+    if mode == "incremental" and batch_date is None:
+        raise ValueError("mode='incremental' requires batch_date")
     alert = on_failure or _default_alert
 
     def _quality(spark: SparkSession) -> None:
@@ -123,9 +137,14 @@ def run_all(
         if not ok:
             raise QualityGateError(failed)
 
+    def _bronze():
+        if mode == "incremental":
+            return bronze.run_incremental(spark, source_dir, batch_date)
+        return bronze.run(spark, source_dir)
+
     stages: list[tuple[str, Callable[[], object]]] = [
         ("setup", lambda: catalog.bootstrap(spark)),
-        ("bronze", lambda: bronze.run(spark, source_dir)),
+        ("bronze", _bronze),
         ("silver", lambda: silver.run(spark)),
         ("gold", lambda: gold.run(spark, with_forecast=with_forecast)),
         ("quality", lambda: _quality(spark)),

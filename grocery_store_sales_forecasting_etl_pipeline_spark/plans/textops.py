@@ -359,6 +359,43 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash32(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _simhash_candidates_sql() -> str:
+    return f"""
+WITH sim AS ({_simhash_sql()}),
+bands AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (8 * band_idx)) & 255 AS band_val
+  FROM sim, (SELECT unnest(range(4)) AS band_idx) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+         a.simhash AS h1, b.simhash AS h2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
+"""
+
+
+@register("simhash_candidates", oracle=_simhash_candidates_sql(), tags=("text", "dedup"))
+def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×8-bit banded Hamming blocking over the
+    32-bit fingerprints, then exact bit_count(xor) <= 3 verification —
+    closes the third dedup family (exact / MinHash / SimHash) end-to-end
+    (operators/dedup.py:simhash_candidate_pairs; pigeonhole-exact for
+    radius 3 < 4 bands).
+
+    Scale notes: band explode is map-only; one self-equi-join shuffle on
+    (band_idx, band_val); the Hamming verify is a JVM bit op on 8-byte
+    keys, no text comparison. Candidate cost Σ bucket² like MinHash-LSH
+    but with an 8-byte shuffle payload.
+    """
+    sim = dd.simhash32(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return dd.simhash_candidate_pairs(sim, "doc_id", "simhash")
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: near-dup pairs → connected components → survivors
 # ---------------------------------------------------------------------------

@@ -43,6 +43,56 @@ def read_csv_permissive(spark: SparkSession, path: str, schema: StructType) -> D
     )
 
 
+def prepare_clean(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    quarantine_table: str | None = None,
+    partition_by_date: bool = False,
+    stage: str = "bronze_ingestion",
+) -> tuple[DataFrame, int]:
+    """Read + quarantine-split WITHOUT writing the clean side: returns
+    ``(clean_df, n_quarantined)`` for callers that route clean rows into
+    an upsert instead of an overwrite (the incremental daily-batch path,
+    ``pipeline/bronze.run_incremental``).
+
+    The read is cached only across the quarantine count/write (Spark
+    rejects corrupt-column-only queries on an uncached CSV read —
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and unpersisted
+    before returning: the clean frame recomputes from the file when the
+    caller's upsert materializes it, so no cache entry outlives this call
+    in a long-running orchestrator. Daily batches are small by
+    construction; the second scan is the right trade.
+    """
+    try:
+        df = read_csv_permissive(spark, path, schema).cache()
+        corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw_record"),
+            F.col("source_file"),
+            F.current_timestamp().alias("quarantined_at"),
+            F.lit(stage).alias("stage"),
+        )
+        n_quarantined = 0
+        try:
+            if quarantine_table is not None:
+                n_quarantined = corrupt.count()
+                if n_quarantined:
+                    corrupt.write.mode("append").saveAsTable(quarantine_table)
+        finally:
+            df.unpersist()
+        clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        if partition_by_date and "date" in clean.columns:
+            clean = (
+                clean.withColumn("date", F.to_date(F.col("date").cast("string"), "yyyy-MM-dd"))
+                .withColumn("year", F.year("date"))
+                .withColumn("month", F.month("date"))
+            )
+        return clean, n_quarantined
+    except Exception as exc:  # noqa: BLE001 — reference logs then re-raises any failure
+        log_error(spark, str(exc), stage=stage, source_file=path)
+        raise
+
+
 def ingest_csv(
     spark: SparkSession,
     path: str,

@@ -78,3 +78,66 @@ def test_run_all_retries_transient_failure(spark, tmp_path, clean_catalog, monke
     results = orchestrator.run_all(spark, str(src), with_forecast=False, max_attempts=2)
     assert results["bronze"].status == "ok"
     assert results["bronze"].attempts == 2
+
+
+def test_run_all_incremental_daily_batches_and_replay(spark, tmp_path, clean_catalog):
+    """mode='incremental': day-1 full delivery creates raw.*, day-2
+    delivers only a transactions correction batch (other sources skip),
+    corrected values flow through silver/gold, and replaying day 2
+    leaves every layer value-identical (idempotence) with all quality
+    gates green."""
+    import datetime as dt
+
+    src = tmp_path / "daily"
+    day1 = src / "2017" / "02" / "01"
+    day1.mkdir(parents=True)
+    _write_fixtures(day1)
+
+    d1 = dt.date(2017, 2, 1)
+    results = orchestrator.run_all(
+        spark, str(src), with_forecast=False, mode="incremental", batch_date=d1
+    )
+    assert [r.status for r in results.values()] == ["ok"] * 5
+    n_raw_d1 = spark.table("raw.transactions").count()
+    base_row = spark.table("raw.transactions").filter(
+        "date = DATE'2016-12-02' AND store_nbr = 1"
+    ).collect()[0]
+
+    # day 2: correction for one existing key + one brand-new day of data
+    day2 = src / "2017" / "02" / "02"
+    day2.mkdir(parents=True)
+    (day2 / "transactions.csv").write_text(
+        "date,store_nbr,transactions\n"
+        "2016-12-02,1,777\n"
+        "2017-02-01,1,501\n2017-02-01,2,502\n"
+    )
+    d2 = dt.date(2017, 2, 2)
+    results2 = orchestrator.run_all(
+        spark, str(src), with_forecast=False, mode="incremental", batch_date=d2
+    )
+    assert [r.status for r in results2.values()] == ["ok"] * 5
+    tx = spark.table("raw.transactions")
+    assert tx.count() == n_raw_d1 + 2  # 1 correction (in place) + 2 inserts
+    fixed = tx.filter("date = DATE'2016-12-02' AND store_nbr = 1").collect()[0]
+    assert fixed.transactions == 777 and base_row.transactions != 777
+
+    def snapshot(table):
+        df = spark.table(table)
+        return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+    snaps = {t: snapshot(t) for t in ("raw.transactions", "processed.sales_cleaned")}
+
+    # replay day 2 (re-delivered batch): byte-identical layers
+    results3 = orchestrator.run_all(
+        spark, str(src), with_forecast=False, mode="incremental", batch_date=d2
+    )
+    assert [r.status for r in results3.values()] == ["ok"] * 5
+    for t, before in snaps.items():
+        assert snapshot(t) == before, f"{t} changed on replay"
+
+
+def test_run_all_incremental_requires_batch_date(spark):
+    with pytest.raises(ValueError, match="batch_date"):
+        orchestrator.run_all(spark, "/nope", mode="incremental")
+    with pytest.raises(ValueError, match="mode"):
+        orchestrator.run_all(spark, "/nope", mode="weekly")
