@@ -342,7 +342,7 @@ def lsh_sign_buckets(
 
 
 def _subsplit_blocks(
-    base: DataFrame, block_col: str, max_block_rows: int
+    base: DataFrame, block_col: str, max_block_rows: int, broadcast_counts: bool = False
 ) -> DataFrame:
     """Attach (``__ns``, ``__sub``) to every row: the number of sub-blocks
     its block was split into (⌈block_count / max_block_rows⌉) and the row's
@@ -355,8 +355,16 @@ def _subsplit_blocks(
     distinct literal so it decorrelates from any hash-derived block id),
     so expected sub-block size is ≤ max_block_rows; hash imbalance can
     exceed the cap by small factors but never recreates the one-task-
-    holds-the-block degeneracy this exists to prevent."""
+    holds-the-block degeneracy this exists to prevent.
+
+    ``broadcast_counts``: when the block-id space is known bounded (LSH
+    buckets ≤ 2^n_planes), broadcasting the counts side makes the join
+    map-only — the big vector table then reaches the downstream cogroup
+    without an extra co-partitioning exchange. Leave False for unbounded
+    block domains (content fingerprints), where counts can be huge."""
     counts = base.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bn"))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
     return (
         base.join(counts, block_col)
         .withColumn(
@@ -381,6 +389,7 @@ def in_block_pairs_gemm(
     threshold: float = 0.9,
     round_to: int = 6,
     max_block_rows: int = 4096,
+    broadcast_counts: bool = False,
 ) -> DataFrame:
     """All same-block pairs with cosine ≥ threshold: shuffle on the block
     key, then numpy GEMM inside ``applyInPandas`` — replaces the
@@ -441,7 +450,7 @@ def in_block_pairs_gemm(
     if max_block_rows is None:
         sized = base.withColumn("__ns", F.lit(1)).withColumn("__sub", F.lit(0))
     else:
-        sized = _subsplit_blocks(base, "__blk", max_block_rows)
+        sized = _subsplit_blocks(base, "__blk", max_block_rows, broadcast_counts)
     # role A: a row of sub-block s is the LEFT side of pairs (s, s2), s2 >= s.
     # EVERY column is re-aliased per side (including the block key): both
     # sides descend from the same parent plan, and any attribute passed
@@ -490,8 +499,10 @@ def lsh_ann_candidates(
     for t in range(n_tables):
         buckets = lsh_sign_buckets(df, id_col, vec_col, n_planes, dim=dim, table_id=t)
         blocked = df.join(buckets, id_col)
+        # bucket domain is ≤ 2^n_planes — counts always broadcastable
         pairs = in_block_pairs_gemm(
-            blocked, "bucket", id_col, vec_col, threshold, round_to=6
+            blocked, "bucket", id_col, vec_col, threshold, round_to=6,
+            broadcast_counts=True,
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out.distinct()

@@ -39,12 +39,41 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal",))
+# the oracle recomputes the 64-bin byte histogram in pure SQL: hex() of
+# the reconstructed blob turns per-byte ops into per-2-char substr ops
+# over an ASCII string (safe for multibyte UTF-8 text), and the float32
+# cast mirrors the featurizer's astype("float32") bit-for-bit
+_MEDIA_FEATURES_ORACLE = """
+WITH b AS (SELECT doc_id, hex('RIFF' || text) AS h FROM documents),
+bytes AS (
+  SELECT doc_id, (('0x' || substr(h, CAST(2*i - 1 AS INT), 2))::INT >> 2) AS bin
+  FROM b, LATERAL unnest(generate_series(1, length(h)//2)) AS t(i)
+),
+hist AS (SELECT doc_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) AS n, max(c) AS mx FROM hist GROUP BY 1)
+SELECT h.doc_id,
+  CAST(64 AS BIGINT) AS n_features,
+  CAST(min(CASE WHEN c = mx THEN bin END) AS BIGINT) AS dominant_bin,
+  CAST(count(*) AS BIGINT) AS nonzero_bins,
+  round(CAST(CAST(CAST(mx AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS top_bin_share
+FROM hist h JOIN tot USING (doc_id)
+GROUP BY h.doc_id, mx, n
+"""
+
+
+@register("multimodal_features", oracle=_MEDIA_FEATURES_ORACLE, tags=("multimodal",))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched featurization of binary media: 64-bin byte histogram
     per blob via ``mapInPandas`` (functions/multimodal.py:
     byte_histogram_features) — the Python-boundary template for real
-    decoders (rows-only check: float-vector output, no SQL oracle).
+    decoders — digested to scalar stats (dominant bin, nonzero bins, top
+    share) that a SQL oracle recomputes byte-for-byte, so the whole
+    Python plumbing path sits under the hash check.
+
+    Tie-break parity: ``array_position(features, array_max(features))``
+    picks the FIRST (lowest-index) maximal bin, matching the oracle's
+    ``min(bin) WHERE c = mx``; distinct counts can't collide in float32
+    for blobs < 2^24 bytes (count spacing 1/n beats float32 eps there).
     """
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_media_from_text(docs)
@@ -52,7 +81,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.size("features").cast("long").alias("n_features"),
-        F.round(F.expr("aggregate(features, 0.0D, (a, v) -> a + CAST(v AS DOUBLE))"), 3).alias(
-            "l1_norm"
+        (F.array_position("features", F.array_max("features")) - 1)
+        .cast("long")
+        .alias("dominant_bin"),
+        F.size(F.filter("features", lambda v: v > F.lit(0.0))).cast("long").alias(
+            "nonzero_bins"
         ),
+        F.round(F.array_max("features").cast("double"), 6).alias("top_bin_share"),
     )
