@@ -119,3 +119,64 @@ def test_partition_upsert_stages_before_overwrite(spark, partitioned_table):
     assert not spark.catalog.tableExists(f"{partitioned_table}__staged_parts")
     got = {r.id: r.v for r in spark.table(partitioned_table).collect()}
     assert got == {1: 111.0, 2: 20.0, 3: 30.0}
+
+
+def _delta_importable() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
+def test_merge_upsert_parquet_path_when_no_delta(spark, base_table, monkeypatch):
+    """In a session without the Delta extension the dispatch must select
+    the portable staged path even if delta-spark were importable — and
+    _is_delta_table must answer False without raising on a parquet
+    table."""
+    assert mx._is_delta_table(spark, base_table) is False
+    updates = spark.createDataFrame(
+        [(1, "2024-03", 99.0)], spark.table(base_table).schema
+    )
+    n = mx.merge_upsert(spark, base_table, updates, keys=["id"])
+    assert n == spark.table(base_table).count()
+    assert spark.table(base_table).filter("id = 1").collect()[0].v == 99.0
+
+
+@pytest.mark.skipif(
+    not _delta_importable(), reason="delta-spark not installed in this container"
+)
+def test_merge_upsert_delta_fast_path_matches_parquet(tmp_path_factory):
+    """With delta-spark present: a MERGE INTO through the fast path must
+    leave the same table state as the staged parquet path on the same
+    inputs. (Runs only where the container ships delta-spark; the
+    session here is built separately because Delta needs extension +
+    catalog confs at build time.)"""
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    wh = str(tmp_path_factory.mktemp("delta_wh"))
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        .config("spark.sql.warehouse.dir", wh)
+    )
+    s = configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        rows = [(1, "a", 1.0), (2, "b", 2.0)]
+        upd = [(2, "b", 22.0), (3, "c", 3.0)]
+        schema = "id INT, name STRING, val DOUBLE"
+        s.createDataFrame(rows, schema).write.format("delta").saveAsTable("t_delta")
+        s.createDataFrame(rows, schema).write.format("parquet").saveAsTable("t_parq")
+        updates = s.createDataFrame(upd, schema)
+        assert mx._is_delta_table(s, "t_delta") is True
+        n_d = mx.merge_upsert(s, "t_delta", updates, keys=["id"])
+        n_p = mx.merge_upsert(s, "t_parq", updates, keys=["id"])
+        got_d = sorted(map(tuple, s.table("t_delta").collect()))
+        got_p = sorted(map(tuple, s.table("t_parq").collect()))
+        assert n_d == n_p == 3
+        assert got_d == got_p == [(1, "a", 1.0), (2, "b", 22.0), (3, "c", 3.0)]
+    finally:
+        s.stop()
