@@ -99,13 +99,13 @@ def fingerprint_bucket(col: str | Column, bits: int = 32) -> Column:
 
 def stopword_hits(col: str | Column, words: tuple[str, ...] = STOPWORDS) -> Column:
     """How many of the marker stopwords occur in the text (presence, not
-    frequency — deterministic and cheap: one array_contains per word)."""
+    frequency): |distinct tokens ∩ markers| as ONE array_intersect —
+    identical semantics to a per-word array_contains sum, but a
+    constant-size expression node instead of an N-term tree (the summed
+    form, multiplied across marker sets, pushed whole-stage codegen past
+    janino's 64KB method limit and forced interpreted fallback)."""
     t = F.array_distinct(tokens(col))
-    hit = None
-    for wrd in words:
-        h = F.array_contains(t, wrd).cast("int")
-        hit = h if hit is None else hit + h
-    return hit.cast("long")
+    return F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words]))).cast("long")
 
 
 def quality_score(col: str | Column) -> Column:
@@ -134,7 +134,7 @@ def langid(col: str | Column) -> Column:
     dict order), 'und' when no marker hits."""
     t = F.array_distinct(tokens(col))
     scores = {
-        lang: sum(F.array_contains(t, w).cast("int") for w in words)
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
         for lang, words in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())
