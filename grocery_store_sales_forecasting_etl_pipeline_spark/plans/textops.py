@@ -634,3 +634,68 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].cast("long").alias("n_phones"),
         T.redact_pii("text").alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms (classic corpus keyword extraction)
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf * n.n AS DOUBLE) / dfreq.df, 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("doc_tfidf_topk", oracle=_TFIDF_ORACLE, tags=("text",))
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. IDF is the log-free inverse
+    document-frequency ratio tf·N/df: ln() differs in the last ulp
+    across engines (JVM StrictMath vs DuckDB libm) which would break
+    hash parity, while integer multiply + one IEEE double division is
+    bit-identical everywhere and ranks terms in the same order for
+    fixed N.
+
+    Scale notes: three shuffles — (doc, term) tf aggregate, term df
+    aggregate, and the doc-partitioned top-k window; the term→df join
+    is the classic inverted-index co-partitioned join (both sides
+    already hashed by term from their aggregates; no extra exchange),
+    corpus size N is one broadcast scalar. Map-side partial aggregation
+    absorbs the Zipf head before any shuffle; no driver materialization
+    beyond the N count.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id"), F.explode(T.tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round((F.col("tf") * F.col("n")).cast("double") / F.col("df"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
