@@ -670,13 +670,15 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical everywhere and ranks terms in the same order for
     fixed N.
 
-    Scale notes: three shuffles — (doc, term) tf aggregate, term df
-    aggregate, and the doc-partitioned top-k window; the term→df join
-    is the classic inverted-index co-partitioned join (both sides
-    already hashed by term from their aggregates; no extra exchange),
-    corpus size N is one broadcast scalar. Map-side partial aggregation
-    absorbs the Zipf head before any shuffle; no driver materialization
-    beyond the N count.
+    Scale notes: single scan, three shuffles of the compact (doc, term,
+    tf) frame — the tf aggregate, the term-partitioned window that
+    counts df in place (a groupBy-df + join-back would either re-scan
+    and re-explode the corpus for the second aggregate, or need a
+    vocabulary-sized broadcast that doesn't exist at 100 TB), and the
+    doc-partitioned top-k window (WindowGroupLimit pushes the k=3 cut
+    before its exchange). Corpus size N is one broadcast scalar;
+    map-side partial aggregation absorbs the Zipf head before the first
+    shuffle.
     """
     from pyspark.sql import Window
 
@@ -685,13 +687,18 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.explode(T.tokens("text")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
-    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
-        "doc_id",
-        "term",
-        F.col("tf").cast("long").alias("tf"),
-        F.round((F.col("tf") * F.col("n")).cast("double") / F.col("df"), 6).alias("tfidf"),
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round((F.col("tf") * F.col("n")).cast("double") / F.col("df"), 6).alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
