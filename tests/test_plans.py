@@ -82,3 +82,27 @@ def test_partition_pruning_on_partitioned_table(spark, sf_oracle):
         assert n == _t(spark, sf_oracle, "orders").filter(F.year("o_orderdate") == 1997).count()
     finally:
         spark.sql("DROP DATABASE prunedb CASCADE")
+
+
+def test_tfidf_single_scan_three_exchanges(spark, sf_oracle):
+    """doc_tfidf_topk must stay single-data-scan (df counted via window,
+    not a join-back that re-scans and re-explodes the corpus) with
+    exactly three hash exchanges of the compact tf frame, and the top-3
+    cut pushed below the final exchange (WindowGroupLimit)."""
+    plan = _simple(spark, "doc_tfidf_topk", sf_oracle)
+    # one data scan + the footer-only count(*) scan for N
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "")  # only the scalar-N cross
+
+
+def test_simhash_candidates_band_equi_join(spark, sf_oracle):
+    """simhash_candidates must pair via an equi-join on the band keys —
+    never a cartesian/nested-loop over fingerprints."""
+    plan = _simple(spark, "simhash_candidates", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
