@@ -94,15 +94,65 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("ann_lsh_candidates", oracle=None, tags=("similarity",))
+def _ann_lsh_sql(n_planes: int = 8, n_tables: int = 2, dim: int = 64) -> str:
+    """Generated oracle: the hyperplanes are deterministic md5-derived
+    LITERALS (operators/similarity._hyperplane_value), so the same
+    coefficients that the Spark plan embeds can be emitted as DuckDB
+    literal lists — hand-writing 8×64×2 coefficients was the only thing
+    making this 'impractical as SQL'. Sign parity is safe across
+    engines: the smallest |dot| on this corpus is orders of magnitude
+    above the ~1e-13 summation-order error bound, and cosine parity at
+    6dp is already proven by the hash-matched cosine_knn /
+    embedding_dup_pairs oracles."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.similarity import (
+        _hyperplane_value,
+    )
+
+    tables = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            plane = t * 1000 + p
+            lits = ", ".join(f"{_hyperplane_value(plane, d)!r}" for d in range(dim))
+            terms.append(
+                f"(CASE WHEN list_inner_product(e, [{lits}]) > 0 "
+                f"THEN {2 ** p} ELSE 0 END)"
+            )
+        tables.append(f"SELECT vec_id, e, {t} AS tbl, {' + '.join(terms)} AS bucket FROM v")
+    buckets = " UNION ALL ".join(tables)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+                    AND a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT c.id_1, c.id_2,
+         round(list_cosine_similarity(v1.e, v2.e), 6) AS cosine_sim
+  FROM cand c
+  JOIN v v1 ON v1.vec_id = c.id_1
+  JOIN v v2 ON v2.vec_id = c.id_2
+)
+SELECT id_1, id_2, cosine_sim FROM scored WHERE cosine_sim >= 0.4
+"""
+
+
+@register("ann_lsh_candidates", oracle=_ann_lsh_sql(), tags=("similarity",))
 def ann_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH ANN: md5-derived deterministic
     hyperplanes bucket vectors (8 planes → 256 buckets), exact cosine
-    only inside buckets (threshold 0.4).
+    only inside buckets (threshold 0.4), 2 independent tables unioned.
 
-    Rows-only check (the 8×64 hyperplane expression tree is impractical
-    as hand-written SQL); determinism + recall vs the exact
-    embedding_dup_pairs baseline are pinned by tests/test_similarity.py.
+    Oracle-checked since r3: the hyperplane coefficients are Python
+    literals shared verbatim by the Spark plan and a generated DuckDB
+    query (_ann_lsh_sql), so the whole bucket → in-bucket-GEMM →
+    threshold path sits under the hash check; recall vs the exact
+    embedding_dup_pairs baseline is additionally pinned by
+    tests/test_similarity.py.
 
     Scale notes: bucketing is a map-only pass; candidate generation cost
     is Σ bucket² ≈ n²/2^planes for uniform buckets — tune n_planes to
