@@ -50,3 +50,64 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicts closed sessions so state is bounded by the active-session set.
     """
     return ev.sessionize(_t(spark, sf_dir, "events"), gap="5 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (checked in batch; stream==batch in pytest)
+# ---------------------------------------------------------------------------
+
+_INTERVAL_JOIN_ORACLE = """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT
+  c.user_id                         AS l_user_id,
+  c.event_id                        AS l_event_id,
+  c.ts                              AS l_ts,
+  p.event_id                        AS r_event_id,
+  p.ts                              AS r_ts,
+  p.value                           AS r_value,
+  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_seconds
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+@register("click_purchase_interval", oracle=_INTERVAL_JOIN_ORACLE, tags=("streaming", "join"))
+def click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (click, purchase) pair for a user where the click precedes
+    the purchase by at most one hour — the stream-stream interval join
+    (streaming/events.py:interval_join), here run in batch mode where
+    the DuckDB oracle can verify it; pytest additionally pins
+    stream==batch on the same plan with watermarked state.
+
+    Unlike asof_click_attribution (latest click only), this is the
+    many-to-many attribution window — and in streaming form the
+    two-sided time-range predicate is what lets Spark evict buffered
+    rows once the watermark passes ts + lookback (state stays bounded).
+
+    Scale notes: one shuffle per side on the equi-key; the range
+    predicate evaluates post-join within co-partitioned groups.
+    """
+    import pyspark.sql.functions as F
+
+    evts = _t(spark, sf_dir, "events")
+    clicks = evts.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = evts.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = ev.interval_join(
+        clicks, purchases, key="user_id", lookback="1 hour", prefixes=("l", "r")
+    )
+    return joined.select(
+        "l_user_id",
+        "l_event_id",
+        "l_ts",
+        "r_event_id",
+        "r_ts",
+        "r_value",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).cast("long").alias(
+            "gap_seconds"
+        ),
+    )

@@ -204,3 +204,50 @@ def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, on: str, how: str =
     query; keep the dim broadcast-sized or pre-bucketed on the key.
     """
     return stream_df.join(dim_df, on=on, how=how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    prefixes: tuple[str, str] = ("l", "r"),
+) -> DataFrame:
+    """Stream-stream (or batch-batch: same plan, unified API) interval
+    join: each RIGHT row matches LEFT rows of the same ``key`` whose
+    timestamp falls in [right_ts - lookback, right_ts].
+
+    For streaming inputs both sides get watermarks, which together with
+    the two-sided time-range predicate lets Spark bound join state: a
+    buffered left row is evictable once the right watermark passes
+    left_ts + lookback (without the range condition a stream-stream
+    inner join would buffer both sides forever — the state-bound rule
+    the Structured Streaming guide mandates). State shuffles by the
+    equi-key, same partitioning rules as batch.
+
+    Columns come out prefixed (``l_ts``, ``r_ts``, …) because both
+    sides usually share a schema (one events stream filtered two ways).
+    """
+    lp, rp = prefixes
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    lsel = lw.select(
+        F.col(key).alias(f"{lp}_{key}"),
+        *[F.col(c).alias(f"{lp}_{c}") for c in lw.columns if c != key],
+    )
+    rsel = rw.select(
+        F.col(key).alias(f"{rp}_{key}"),
+        *[F.col(c).alias(f"{rp}_{c}") for c in rw.columns if c != key],
+    )
+    cond = (
+        (F.col(f"{lp}_{key}") == F.col(f"{rp}_{key}"))
+        & (F.col(f"{lp}_{left_ts}") <= F.col(f"{rp}_{right_ts}"))
+        & (
+            F.col(f"{lp}_{left_ts}")
+            >= F.col(f"{rp}_{right_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return lsel.join(rsel, cond, "inner")

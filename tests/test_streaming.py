@@ -152,3 +152,37 @@ def test_stream_upsert_idempotent_replay(spark, events_dir, tmp_path):
         assert again.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
     finally:
         spark.sql("DROP DATABASE supsert CASCADE")
+
+
+def test_stream_interval_join_equals_batch(spark, events_dir):
+    """Stream-stream interval join (watermarked, state-bounded by the
+    two-sided range predicate) must emit exactly the pairs the batch
+    run of the same plan produces."""
+    import pyspark.sql.functions as F
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        return clicks, purchases
+
+    sc, sp = split(ev.stream_events(spark, events_dir))
+    ev.run_to_memory(
+        spark,
+        ev.interval_join(sc, sp, key="user_id", lookback="1 hour", watermark="2 hours"),
+        "ij_out",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.l_user_id, r.l_event_id, r.r_event_id)
+        for r in spark.table("ij_out").collect()
+    )
+    bc, bp = split(_batch_events(spark, events_dir))
+    want = sorted(
+        (r.l_user_id, r.l_event_id, r.r_event_id)
+        for r in ev.interval_join(bc, bp, key="user_id", lookback="1 hour").collect()
+    )
+    assert got == want and len(want) > 0
