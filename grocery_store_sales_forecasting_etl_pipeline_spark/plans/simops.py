@@ -189,3 +189,70 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_search(
         emb, queries, k=5, nprobe=4, n_centroids=8, n_iter=3, max_train_rows=2048
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (vector-compression step of an embedding
+# pipeline: 4× smaller ANN indexes / shuffle payloads)
+# ---------------------------------------------------------------------------
+
+_QUANTIZE_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+q AS (
+  SELECT vec_id, e, mx,
+         list_transform(e, x -> greatest(least(
+           CAST(floor(x * (127.0 / mx) + 0.5) AS INT), 127), -127)) AS codes
+  FROM m
+)
+SELECT vec_id,
+  CAST(len(e) AS BIGINT) AS n_dims,
+  round(mx, 6) AS max_abs,
+  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_saturated,
+  round(list_max(list_transform(range(1, len(e) + 1),
+        i -> abs(e[i] - codes[i] / (127.0 / mx)))), 6) AS max_abs_err
+FROM q
+"""
+
+
+@register("embedding_quantize", oracle=_QUANTIZE_ORACLE, tags=("similarity",))
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|,
+    code = floor(x·scale + 0.5) clamped to [-127, 127] — the compression
+    step that shrinks ANN indexes and embedding shuffles 4×. Digested to
+    scalar stats (code sum, saturation count, max reconstruction error)
+    for the hash check.
+
+    Engine-parity choices: floor(x+0.5) instead of round() (round
+    half-even vs half-away differs across engines; floor doesn't), and
+    every float digest is order-INDEPENDENT (max) or integer-exact
+    (sum of int8 codes), so no accumulation-order assumption is needed.
+
+    Scale notes: pure map-side JVM higher-order functions fused with the
+    scan — no shuffle, no Python; at 100 TB this runs at scan speed.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    work = emb.select("vec_id", e.alias("e"))
+    work = work.withColumn("mx", F.expr("array_max(transform(e, x -> abs(x)))"))
+    work = work.withColumn(
+        "codes",
+        F.expr(
+            "transform(e, x -> greatest(least("
+            "CAST(floor(x * (127.0D / mx) + 0.5D) AS INT), 127), -127))"
+        ),
+    )
+    return work.select(
+        "vec_id",
+        F.size("e").cast("long").alias("n_dims"),
+        F.round("mx", 6).alias("max_abs"),
+        F.expr("aggregate(codes, 0L, (acc, c) -> acc + c)").alias("sum_codes"),
+        F.expr("size(filter(codes, c -> abs(c) = 127))").cast("long").alias("n_saturated"),
+        F.round(
+            F.expr(
+                "array_max(zip_with(e, codes, (x, c) -> abs(x - c / (127.0D / mx))))"
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
