@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -219,3 +220,60 @@ def synthesize_media_from_text(
         F.encode(F.col(text_col), "UTF-8"),
     )
     return df.select(F.col(id_col), content.alias("content"))
+
+
+def pcm_energy_windows(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    window_samples: int = 256,
+) -> DataFrame:
+    """Audio-style featurization: interpret a binary column as
+    little-endian int16 PCM, emit one row per FULL window of
+    ``window_samples`` samples with its integer energy (Σ s²) and RMS —
+    the windowed-feature plumbing a real audio pipeline (VAD, loudness
+    normalization, silence trimming) runs, exercised here on synthetic
+    blobs. Arrow-batched ``mapInPandas``; an odd trailing byte and any
+    partial tail window are dropped (deterministic framing).
+
+    Energy stays integer (exact across engines); RMS = sqrt(energy/n)
+    relies only on one IEEE division + correctly-rounded sqrt.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("window_idx", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("energy", LongType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, energies = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(b)
+                n_samp = len(raw) // 2
+                samples = np.frombuffer(raw[: n_samp * 2], dtype="<i2").astype("int64")
+                n_win = n_samp // window_samples
+                for w in range(n_win):
+                    chunk = samples[w * window_samples : (w + 1) * window_samples]
+                    ids.append(i)
+                    widx.append(w)
+                    energies.append(int((chunk * chunk).sum()))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int64"),
+                    "n_samples": pd.Series([window_samples] * len(ids), dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+            out["rms"] = np.round(np.sqrt(out["energy"] / float(window_samples)), 6)
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)

@@ -89,3 +89,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.array_max("features").cast("double"), 6).alias("top_bin_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-style windowed energy (PCM framing through the Python boundary)
+# ---------------------------------------------------------------------------
+
+_PCM_ENERGY_ORACLE = """
+WITH b AS (SELECT doc_id, hex('RIFF' || text) AS h FROM documents),
+s AS (
+  SELECT doc_id,
+    list_transform(range(1, (length(h) // 4) + 1), i ->
+      CASE WHEN ('0x' || substr(h, 4*i - 1, 2))::INT >= 128
+           THEN ('0x' || substr(h, 4*i - 3, 2))::INT
+                + 256 * ('0x' || substr(h, 4*i - 1, 2))::INT - 65536
+           ELSE ('0x' || substr(h, 4*i - 3, 2))::INT
+                + 256 * ('0x' || substr(h, 4*i - 1, 2))::INT
+      END) AS smp
+  FROM b
+),
+w AS (
+  SELECT doc_id, CAST(t.w AS BIGINT) AS window_idx,
+         list_slice(smp, 256 * t.w + 1, 256 * (t.w + 1)) AS chunk
+  FROM s, LATERAL unnest(range(0, len(smp) // 256)) AS t(w)
+)
+SELECT doc_id, window_idx, CAST(256 AS BIGINT) AS n_samples,
+  CAST(list_sum(list_transform(chunk, x -> x * x)) AS BIGINT) AS energy,
+  round(sqrt(list_sum(list_transform(chunk, x -> x * x)) / 256.0), 6) AS rms
+FROM w
+"""
+
+
+@register("audio_energy_windows", oracle=_PCM_ENERGY_ORACLE, tags=("multimodal",))
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy over binary media: blobs parsed as
+    little-endian int16 samples in Arrow batches, one row per full
+    256-sample window with integer energy (Σ s², exact across engines)
+    and RMS (one IEEE division + correctly-rounded sqrt) —
+    the windowed-feature plumbing of an audio pipeline (VAD, loudness
+    normalization), oracle-recomputed in SQL via hex() byte extraction
+    (functions/multimodal.py:pcm_energy_windows).
+
+    Scale notes: map-only mapInPandas — framing never shuffles; at
+    100 TB the windows stream out of the scan at Arrow-batch speed and
+    downstream aggs shuffle the compact (doc, window) rows, not blobs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media_from_text(docs)
+    return mm.pcm_energy_windows(media, content_col="content", id_col="doc_id")
