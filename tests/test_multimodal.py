@@ -74,3 +74,25 @@ def test_synthesized_media_pipeline(spark, sf_smoke):
     assert all(r.media_mime == "audio/wav" for r in rows)  # RIFF magic
     feats = mm.byte_histogram_features(media).first()
     assert len(feats.features) == 64
+
+
+def test_pcm_energy_windows_framing(spark):
+    """Deterministic framing: odd trailing byte dropped, partial tail
+    window dropped, energy matches a hand computation."""
+    # 256 samples of value 3 -> one full window; +1 stray sample +1 odd byte
+    blob = (b"\x03\x00" * 256) + (b"\x05\x00") + b"\x09"
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, content binary")
+    rows = mm.pcm_energy_windows(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.window_idx, r.n_samples) == (1, 0, 256)
+    assert r.energy == 9 * 256  # 256 samples of 3^2
+    assert abs(r.rms - 3.0) < 1e-9
+    # negative samples: -2 little-endian is FE FF
+    neg = b"\xfe\xff" * 256
+    df2 = spark.createDataFrame([(2, bytearray(neg))], "doc_id long, content binary")
+    r2 = mm.pcm_energy_windows(df2).collect()[0]
+    assert r2.energy == 4 * 256 and abs(r2.rms - 2.0) < 1e-9
+    # too short for one window -> no rows
+    df3 = spark.createDataFrame([(3, bytearray(b"\x01\x00" * 10))], "doc_id long, content binary")
+    assert mm.pcm_energy_windows(df3).count() == 0
