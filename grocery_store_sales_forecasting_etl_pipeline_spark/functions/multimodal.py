@@ -256,15 +256,21 @@ def pcm_energy_windows(
         for pdf in batches:
             ids, widx, energies = [], [], []
             for i, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    continue  # null blob -> no windows, don't kill the task
                 raw = bytes(b)
-                n_samp = len(raw) // 2
-                samples = np.frombuffer(raw[: n_samp * 2], dtype="<i2").astype("int64")
-                n_win = n_samp // window_samples
-                for w in range(n_win):
-                    chunk = samples[w * window_samples : (w + 1) * window_samples]
-                    ids.append(i)
-                    widx.append(w)
-                    energies.append(int((chunk * chunk).sum()))
+                n_win = (len(raw) // 2) // window_samples
+                if n_win == 0:
+                    continue
+                # vectorized framing: one reshape + row-wise dot per blob,
+                # no Python-level per-window loop
+                samples = np.frombuffer(
+                    raw[: n_win * window_samples * 2], dtype="<i2"
+                ).astype("int64")
+                chunks = samples.reshape(n_win, window_samples)
+                ids.extend([i] * n_win)
+                widx.extend(range(n_win))
+                energies.extend((chunks * chunks).sum(axis=1).tolist())
             out = pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -273,7 +279,12 @@ def pcm_energy_windows(
                     "energy": pd.Series(energies, dtype="int64"),
                 }
             )
-            out["rms"] = np.round(np.sqrt(out["energy"] / float(window_samples)), 6)
+            # half-away rounding to mirror DuckDB's round() (np.round is
+            # half-even); rms >= 0 so floor(x*1e6 + 0.5) is half-away
+            out["rms"] = (
+                np.floor(np.sqrt(out["energy"] / float(window_samples)) * 1e6 + 0.5)
+                / 1e6
+            )
             yield out
 
     return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)

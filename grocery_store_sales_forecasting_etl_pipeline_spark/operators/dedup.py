@@ -239,7 +239,15 @@ def simhash_candidate_pairs(
         ).alias("band"),
     ).select(id_col, hash_col, "band.band_idx", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    # hamming filter BEFORE the distinct: the filter is deterministic
+    # per pair, so applying it to the raw join output shrinks the
+    # distinct's exchange to surviving pairs only (the pre-filter
+    # candidate set is the larger one by construction) with identical
+    # results
+    hamming = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -249,16 +257,10 @@ def simhash_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
-            F.col(f"a.{hash_col}").alias("__h1"),
-            F.col(f"b.{hash_col}").alias("__h2"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("__h1").bitwiseXOR(F.col("__h2"))).cast("long")
-    return (
-        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= radius)
-        .select("id_1", "id_2", "hamming")
+        .distinct()
     )
 
 

@@ -67,8 +67,12 @@ SOURCES: tuple[tuple[str, StructType, bool], ...] = (
 QUARANTINE_TABLE = "logs.quarantine"
 
 # natural key per source — what an incremental re-delivery upserts on.
-# For date-partitioned facts the partition column is part of the key, so
-# partition_upsert's key-stability contract holds by construction.
+# run_incremental uses partition_upsert ONLY when the partition column
+# (date) is part of the key, so its key-stability contract holds by
+# construction; key-without-date sources (test: keyed on id but
+# date-partitioned) take merge_upsert instead — a corrected date there
+# re-homes the row across partitions, which a partition-scoped rewrite
+# would silently duplicate.
 SOURCE_KEYS: dict[str, tuple[str, ...]] = {
     "stores": ("store_nbr",),
     "sample_submission": ("id",),
@@ -138,7 +142,8 @@ def run_incremental(
                 w = w.partitionBy("year", "month")
             w.saveAsTable(table)
             n = spark.table(table).count()
-        elif by_date:
+        elif by_date and "date" in keys:
+            # partition column in the key => keys can't move partitions
             n = maintenance.partition_upsert(
                 spark, table, clean, keys=keys, partition_cols=("year", "month")
             )

@@ -118,7 +118,10 @@ def run_all(
     (``bronze.run_incremental``) — bronze partitions outside the batch
     are untouched, replaying the same day is idempotent, and silver/gold
     rebuild deterministically from the upserted raw state, so a replayed
-    day leaves every layer byte-identical.
+    day leaves every DATA layer byte-identical. The quarantine table is
+    the deliberate exception: it is an append-only audit log, so a
+    replayed batch with corrupt rows records them again (each with its
+    own timestamp) — delivery attempts are facts worth keeping.
 
     Fail-fast: the first stage that exhausts ``max_attempts`` writes a
     structured row to ``logs.etl_errors``, triggers ``on_failure``,

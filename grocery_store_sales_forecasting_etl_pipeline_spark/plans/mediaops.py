@@ -115,7 +115,10 @@ w AS (
 )
 SELECT doc_id, window_idx, CAST(256 AS BIGINT) AS n_samples,
   CAST(list_sum(list_transform(chunk, x -> x * x)) AS BIGINT) AS energy,
-  round(sqrt(list_sum(list_transform(chunk, x -> x * x)) / 256.0), 6) AS rms
+  -- explicit half-away formula, identical IEEE ops to the Python side
+  -- (np.round is half-even; round() implementations vary — this doesn't)
+  floor(sqrt(list_sum(list_transform(chunk, x -> x * x)) / 256.0) * 1000000 + 0.5)
+    / 1000000 AS rms
 FROM w
 """
 

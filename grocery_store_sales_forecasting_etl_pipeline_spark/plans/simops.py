@@ -201,8 +201,8 @@ WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
 q AS (
   SELECT vec_id, e, mx,
-         list_transform(e, x -> greatest(least(
-           CAST(floor(x * (127.0 / mx) + 0.5) AS INT), 127), -127)) AS codes
+         list_transform(e, x -> CASE WHEN mx = 0 THEN 0 ELSE greatest(least(
+           CAST(floor(x * (127.0 / mx) + 0.5) AS INT), 127), -127) END) AS codes
   FROM m
 )
 SELECT vec_id,
@@ -210,8 +210,9 @@ SELECT vec_id,
   round(mx, 6) AS max_abs,
   CAST(list_sum(codes) AS BIGINT) AS sum_codes,
   CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_saturated,
-  round(list_max(list_transform(range(1, len(e) + 1),
-        i -> abs(e[i] - codes[i] / (127.0 / mx)))), 6) AS max_abs_err
+  CASE WHEN mx = 0 THEN 0.0 ELSE
+    round(list_max(list_transform(range(1, len(e) + 1),
+          i -> abs(e[i] - codes[i] / (127.0 / mx)))), 6) END AS max_abs_err
 FROM q
 """
 
@@ -236,11 +237,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     work = emb.select("vec_id", e.alias("e"))
     work = work.withColumn("mx", F.expr("array_max(transform(e, x -> abs(x)))"))
+    # zero-vector guard: mx = 0 makes 127/mx infinite and x*inf = NaN,
+    # and CAST(NaN AS INT) throws under ANSI mode (Spark 4 default) —
+    # emit all-zero codes and zero error instead of killing the query
     work = work.withColumn(
         "codes",
         F.expr(
-            "transform(e, x -> greatest(least("
-            "CAST(floor(x * (127.0D / mx) + 0.5D) AS INT), 127), -127))"
+            "transform(e, x -> IF(mx = 0.0D, 0, greatest(least("
+            "CAST(floor(x * (127.0D / mx) + 0.5D) AS INT), 127), -127)))"
         ),
     )
     return work.select(
@@ -249,10 +253,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mx", 6).alias("max_abs"),
         F.expr("aggregate(codes, 0L, (acc, c) -> acc + c)").alias("sum_codes"),
         F.expr("size(filter(codes, c -> abs(c) = 127))").cast("long").alias("n_saturated"),
-        F.round(
-            F.expr(
-                "array_max(zip_with(e, codes, (x, c) -> abs(x - c / (127.0D / mx))))"
-            ),
-            6,
-        ).alias("max_abs_err"),
+        F.when(F.col("mx") == 0.0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.expr(
+                    "array_max(zip_with(e, codes, (x, c) -> abs(x - c / (127.0D / mx))))"
+                ),
+                6,
+            )
+        )
+        .alias("max_abs_err"),
     )

@@ -642,7 +642,11 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+  -- regexp split on whitespace RUNS after trim: exactly functions/
+  -- text.py:tokens (split(trim(x), '\\s+')), so irregular whitespace in
+  -- a future data generation can't desync the engines
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),

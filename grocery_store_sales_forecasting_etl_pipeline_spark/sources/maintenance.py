@@ -75,14 +75,21 @@ def _merge_upsert_delta(
     spark: SparkSession, table: str, updates: DataFrame, keys: Sequence[str]
 ) -> int:
     """Native ``MERGE INTO`` (requires delta-spark + extension; callers
-    go through ``merge_upsert`` which verifies both). Semantics match
-    the parquet path exactly: matched keys replace whole rows, new keys
-    insert. Scale: Delta's file-level pruning rewrites only files
-    containing matched keys — no staged barrier, no full-table rewrite,
-    and the transaction log makes the swap atomic."""
+    go through ``merge_upsert`` which verifies both). Matched keys
+    replace whole rows, new keys insert, with plain ``=`` key equality
+    so NULL keys never match — the same as the parquet path's left-anti
+    join (a null-safe ``<=>`` here would replace NULL-key target rows
+    the parquet path keeps). One semantic divergence remains by design:
+    updates carrying DUPLICATE keys raise Delta's
+    multiple-source-rows-match error here, while the parquet path
+    silently inserts both — the error is the better behavior, and the
+    portable path's laxity is documented at the call site. Scale:
+    Delta's file-level pruning rewrites only files containing matched
+    keys — no staged barrier, no full-table rewrite, and the
+    transaction log makes the swap atomic."""
     from delta.tables import DeltaTable  # gated: container may not ship delta
 
-    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     (
         DeltaTable.forName(spark, table)
         .alias("t")

@@ -61,6 +61,9 @@ def _explode_copies(df, n):
 def generate(spark) -> str:
     import pyspark.sql.functions as F
 
+    # the nanos-generation events table (see plans/_tables.py) needs this
+    # conf to be readable at all; harmless for the micros generation
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = Path(OUT)
     out.mkdir(parents=True, exist_ok=True)
     todo = [

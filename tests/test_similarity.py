@@ -167,3 +167,28 @@ def test_blocked_gemm_equals_broadcast_gemm(spark, sf_smoke):
             ).collect()
         }
         assert got == want, f"n_blocks={nb}: {len(got)} vs {len(want)} pairs"
+
+
+def test_embedding_quantize_zero_vector_guard(spark):
+    """An all-zero embedding must yield zero codes/error, not a
+    CAST(NaN AS INT) ANSI failure from the infinite scale."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0, -2.0] + [0.0] * 6)],
+        "vec_id long, embedding array<float>",
+    )
+    # same guard expression as plans/simops.embedding_quantize
+    e = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    work = df.select("vec_id", e.alias("e")).withColumn(
+        "mx", F.expr("array_max(transform(e, x -> abs(x)))")
+    ).withColumn(
+        "codes",
+        F.expr(
+            "transform(e, x -> IF(mx = 0.0D, 0, greatest(least("
+            "CAST(floor(x * (127.0D / mx) + 0.5D) AS INT), 127), -127)))"
+        ),
+    )
+    rows = {r.vec_id: r.codes for r in work.collect()}
+    assert rows[1] == [0] * 8
+    assert rows[2][0] == 64 and rows[2][1] == -127
