@@ -192,3 +192,42 @@ def test_embedding_quantize_zero_vector_guard(spark):
     rows = {r.vec_id: r.codes for r in work.collect()}
     assert rows[1] == [0] * 8
     assert rows[2][0] == 64 and rows[2][1] == -127
+
+
+def test_simhash_candidates_equal_brute_force(spark):
+    """Pigeonhole exactness: banded Hamming blocking + radius filter
+    must return EXACTLY the brute-force radius-3 pairs, including on
+    adversarial fingerprints that straddle band boundaries."""
+    import itertools
+    import random
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    base = rng.getrandbits(32)
+    fps = [(0, base)]
+    # neighbors at distances 1..5 with flips clustered inside one band
+    # AND spread across bands (the spread case is what banding must not miss)
+    nxt = 1
+    for dist in range(1, 6):
+        in_band = base ^ ((1 << dist) - 1)  # flips in band 0 only
+        bits = rng.sample(range(32), dist)  # flips across bands
+        spread = base
+        for b in bits:
+            spread ^= 1 << b
+        fps += [(nxt, in_band), (nxt + 1, spread)]
+        nxt += 2
+    fps += [(nxt + i, rng.getrandbits(32)) for i in range(40)]
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = sorted(
+        (r.id_1, r.id_2, r.hamming)
+        for r in simhash_candidate_pairs(df, "doc_id", "simhash").collect()
+    )
+    want = sorted(
+        (a_id, b_id, bin(a ^ b).count("1"))
+        for (a_id, a), (b_id, b) in itertools.combinations(fps, 2)
+        if bin(a ^ b).count("1") <= 3
+    )
+    assert got == want and len(want) >= 5
