@@ -202,3 +202,58 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (scale machinery surfaced under the contract)
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_ORACLE = """
+SELECT
+  o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("salted_skew_join", oracle=_SALTED_JOIN_ORACLE, tags=("join", "scale"))
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact lineitem ⋈ orders join routed through
+    ``operators/joins.salted_join`` (8 salts): hot orderkeys spread over
+    8 tasks instead of one, then the priority rollup. Salting is
+    result-transparent — the oracle is the plain join — which is exactly
+    the point: the contract pins that the skew machinery changes the
+    EXECUTION, never the answer (operators/joins.py:63; AQE handles
+    sort-merge skew, salting covers hash-aggregate feeds and bucketed
+    inputs AQE can't split).
+
+    Scale notes: right side replicated 8× (orders is the smaller fact),
+    left shuffled on (key, salt) — per-task rows bounded by
+    hot_key_rows / 8; exact decimal money math for hash parity.
+    """
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    joined = salted_join(li, orders, on="l_orderkey", n_salts=8, how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
