@@ -1,6 +1,8 @@
 """Similarity-search queries over the ``embeddings`` table: brute-force
-cosine k-NN (exact baseline), embedding near-dup pairs, and LSH-bucketed
-ANN (the scale path, rows-only checked)."""
+cosine k-NN (exact baseline), embedding near-dup pairs, LSH-bucketed ANN
+(hash-checked via generated hyperplane-literal SQL), IVF ANN (the one
+rows-only member: iterative k-means isn't SQL-expressible), and int8
+quantization."""
 
 from __future__ import annotations
 
