@@ -215,10 +215,19 @@ def interval_join(
     lookback: str = "1 hour",
     watermark: str = "2 hours",
     prefixes: tuple[str, str] = ("l", "r"),
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch-batch: same plan, unified API) interval
     join: each RIGHT row matches LEFT rows of the same ``key`` whose
     timestamp falls in [right_ts - lookback, right_ts].
+
+    ``how="leftOuter"`` additionally emits unmatched LEFT rows with
+    null right columns — in streaming, an unmatched left row is emitted
+    only once the watermark passes ``left_ts + lookback`` (before that
+    a match could still arrive), so rows near the end of a drained
+    stream stay buffered and the streaming result is a prefix-subset of
+    the batch result (matched pairs are identical; the tail of
+    null-padded rows arrives as the watermark advances).
 
     For streaming inputs both sides get watermarks, which together with
     the two-sided time-range predicate lets Spark bound join state: a
@@ -242,6 +251,8 @@ def interval_join(
         F.col(key).alias(f"{rp}_{key}"),
         *[F.col(c).alias(f"{rp}_{c}") for c in rw.columns if c != key],
     )
+    if how not in ("inner", "leftOuter", "left_outer", "left"):
+        raise ValueError(f"interval_join supports inner/leftOuter, got {how!r}")
     cond = (
         (F.col(f"{lp}_{key}") == F.col(f"{rp}_{key}"))
         & (F.col(f"{lp}_{left_ts}") <= F.col(f"{rp}_{right_ts}"))
@@ -250,4 +261,4 @@ def interval_join(
             >= F.col(f"{rp}_{right_ts}") - F.expr(f"INTERVAL {lookback}")
         )
     )
-    return lsel.join(rsel, cond, "inner")
+    return lsel.join(rsel, cond, "leftOuter" if how != "inner" else "inner")

@@ -186,3 +186,45 @@ def test_stream_interval_join_equals_batch(spark, events_dir):
         for r in ev.interval_join(bc, bp, key="user_id", lookback="1 hour").collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_interval_left_outer_prefix_of_batch(spark, events_dir):
+    """leftOuter stream-stream interval join: matched pairs equal the
+    batch run; null-padded (unmatched) rows are a subset — tail rows
+    stay buffered until the watermark passes left_ts + lookback."""
+    import pyspark.sql.functions as F
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts"),
+            df.filter(F.col("event_type") == "purchase").select(
+                "user_id", "event_id", "ts", "value"
+            ),
+        )
+
+    sc, sp = split(ev.stream_events(spark, events_dir, max_files_per_trigger=1))
+    ev.run_to_memory(
+        spark,
+        ev.interval_join(
+            sc, sp, key="user_id", lookback="1 hour", watermark="30 minutes",
+            how="leftOuter",
+        ),
+        "ijlo_out",
+        output_mode="append",
+    )
+    got = spark.table("ijlo_out").collect()
+    got_matched = sorted(
+        (r.l_user_id, r.l_event_id, r.r_event_id) for r in got if r.r_event_id is not None
+    )
+    got_unmatched = sorted(r.l_event_id for r in got if r.r_event_id is None)
+    bc, bp = split(_batch_events(spark, events_dir))
+    batch = ev.interval_join(
+        bc, bp, key="user_id", lookback="1 hour", how="leftOuter"
+    ).collect()
+    want_matched = sorted(
+        (r.l_user_id, r.l_event_id, r.r_event_id) for r in batch if r.r_event_id is not None
+    )
+    want_unmatched = sorted(r.l_event_id for r in batch if r.r_event_id is None)
+    assert got_matched == want_matched and len(want_matched) > 0
+    assert set(got_unmatched) <= set(want_unmatched)
+    assert got_unmatched, "no unmatched rows emitted before stream end"
