@@ -84,11 +84,73 @@ def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Array-typed variant: exposed to the driver (rows-only — its
-# canonicalizer cannot hash list cells; r1 "unhashable type: 'list'"
-# evidence on array_agg_ops) and oracle-compared in pytest via the local
-# harness, which serializes lists itself.
+# Functions applied to AGGREGATED arrays (distinct surface from
+# array_agg_ops, which only builds+serializes): element_at / slice /
+# reverse / array_distinct / array_contains / higher-order fold, all on
+# the collect_list result, with every array serialized or reduced to a
+# scalar at the output boundary. r3 evidence: list-typed cells crash the
+# driver canonicalizer even in rows-only mode ("unhashable type: 'list'"),
+# so the registered form must never emit an array column — the
+# array-typed variant lives in tests/test_oracle_parity.py only.
 _ARRAY_AGG_ARRAYS_ORACLE = """
+WITH a AS (
+  SELECT l_suppkey,
+         array_agg(CAST(l_quantity AS BIGINT)
+                   ORDER BY CAST(l_quantity AS BIGINT)) AS qtys
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT
+  l_suppkey,
+  CAST(len(qtys) AS BIGINT)                                AS n_qty,
+  CAST(len(list_distinct(qtys)) AS BIGINT)                 AS n_distinct_qty,
+  qtys[1]                                                  AS qty_min,
+  qtys[-1]                                                 AS qty_max,
+  array_to_string(list_slice(list_reverse(qtys), 1, 3), ',') AS top3_qty,
+  list_contains(qtys, 50)                                  AS has_qty50,
+  CAST(list_sum(qtys) AS BIGINT)                           AS sum_qty
+FROM a
+"""
+
+
+@register("array_agg_arrays", oracle=_ARRAY_AGG_ARRAYS_ORACLE, tags=("agg", "array"))
+def array_agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over an aggregated array: per-supplier sorted
+    quantity vector, then element_at (min/max), slice-of-reverse (top-3),
+    array_distinct cardinality, membership, and a higher-order
+    ``F.aggregate`` fold — all JVM-side on the collect_list result, with
+    arrays serialized/reduced before the driver boundary (its
+    canonicalizer cannot hash list cells; see ``array_agg_arrays_typed``
+    in tests for the array-typed output itself)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    agg = li.groupBy("l_suppkey").agg(
+        F.sort_array(F.collect_list(qty)).alias("qtys")
+    )
+    qtys = F.col("qtys")
+    return agg.select(
+        "l_suppkey",
+        F.size(qtys).cast("long").alias("n_qty"),
+        F.size(F.array_distinct(qtys)).cast("long").alias("n_distinct_qty"),
+        F.element_at(qtys, 1).alias("qty_min"),
+        F.element_at(qtys, -1).alias("qty_max"),
+        F.array_join(
+            F.transform(F.slice(F.reverse(qtys), 1, 3), lambda x: x.cast("string")),
+            ",",
+        ).alias("top3_qty"),
+        F.array_contains(qtys, F.lit(50).cast("long")).alias("has_qty50"),
+        F.aggregate(qtys, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "sum_qty"
+        ),
+    )
+
+
+# Array-typed variant — pytest-only (NOT registered): the external
+# harness's canonicalizer cannot hash list cells even in rows-only mode
+# (CORRECTNESS_r03 "unhashable type: 'list'"), so array-typed outputs
+# never cross the driver boundary. tests/test_oracle_parity.py compares
+# this against its oracle with the local harness, which serializes lists.
+ARRAY_AGG_TYPED_ORACLE = """
 SELECT
   user_id,
   array_agg(event_id ORDER BY event_id)  AS event_ids,
@@ -99,16 +161,9 @@ GROUP BY user_id
 """
 
 
-@register(
-    "array_agg_arrays",
-    oracle=_ARRAY_AGG_ARRAYS_ORACLE,
-    tags=("agg", "array"),
-    driver_oracle=False,
-)
-def array_agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-typed collect_list/collect_set results (driver sees rows-only:
-    its canonicalizer cannot hash list cells; see array_agg_ops for the
-    hash-matched string-serialized form; value parity pinned in pytest)."""
+def array_agg_arrays_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed collect_list/collect_set results (pytest-only; the
+    registered ``array_agg_arrays`` reduces every array before output)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 1020)
     return ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list("event_id")).alias("event_ids"),

@@ -27,6 +27,33 @@ def test_rows_only_queries_run(spark, sf_oracle, name):
     assert len(df.columns) > 0
 
 
+def test_array_typed_variant_parity(spark, sf_oracle):
+    """Array-typed collect_list/collect_set output — pytest-only because
+    the external harness cannot hash list cells (CORRECTNESS_r03); the
+    local comparator serializes them."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational4 import (
+        ARRAY_AGG_TYPED_ORACLE,
+        array_agg_arrays_typed,
+    )
+
+    df = array_agg_arrays_typed(spark, sf_oracle)
+    compare(df, ARRAY_AGG_TYPED_ORACLE, sf_oracle, name="array_agg_arrays_typed")
+
+
+def test_no_registered_query_emits_array_columns(spark, sf_oracle):
+    """Guard: no registered builder may expose an array/map-typed column —
+    the driver canonicalizer crashes on list cells even rows-only."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    for name, q in sorted(plans.REGISTRY.items()):
+        df = q.build(spark, sf_oracle)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType)), (
+                f"{name}: column {f.name} is {f.dataType.simpleString()} — "
+                "serialize it before the driver boundary"
+            )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
