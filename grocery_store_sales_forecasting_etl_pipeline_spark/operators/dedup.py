@@ -65,11 +65,14 @@ def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int, block_cols: Sequence[str]
 ) -> DataFrame:
     # a small input file is ONE split → the CPU-heavy shingle explosion
-    # would run in a single task; spread it across the cluster first
-    # (at real scale the input already has many splits and this coalesces
-    # to a cheap round-robin)
+    # would run in a single task; spread it across the cluster first.
+    # Guarded: when the input already has enough splits (the 100 TB case)
+    # a repartition here would be a full shuffle of all document text for
+    # nothing, so only widen when actually under-split.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(parallelism).select(
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.explode(T.shingles(text_col, k)).alias("shingle"),
@@ -83,12 +86,23 @@ def jaccard_pairs(
     k: int = 2,
     threshold: float = 0.8,
     block_cols: Sequence[str] = (),
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-k-gram Jaccard similarity ≥ threshold.
 
     Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard rounded 4dp.
     ``block_cols`` restrict candidate pairs to equal blocks — mandatory at
     scale (see module docstring).
+
+    ``max_df`` drops shingles whose document frequency within a block
+    exceeds the cap BEFORE the self-join, and computes sizes over the
+    capped shingle space so the Jaccard stays internally consistent
+    (standard stop-shingle removal). The self-join pays Σ df² per
+    shingle; without a cap one boilerplate shingle shared by 10⁶ docs in
+    a block is 10¹² join rows — the cap bounds every shingle's
+    contribution at df ≤ max_df, i.e. O(vocab · max_df²) total, while
+    true near-dups (which share many RARE shingles) keep their pairs.
+    Recall at threshold is pinned by tests/test_dedup.py.
     """
     sh = _shingle_rows(df, id_col, text_col, k, block_cols)
     # join on a 64-bit shingle hash instead of the string: halves the
@@ -97,6 +111,16 @@ def jaccard_pairs(
     # blocked pair's shingle set — P ≈ (distinct shingles)²/2⁶⁵,
     # negligible at any realistic corpus vocabulary.
     sh = sh.withColumn("shingle", F.xxhash64("shingle"))
+    if max_df is not None:
+        # shingles are distinct per doc, so count per (block, shingle) IS
+        # document frequency; one extra shuffle on the same key the
+        # intersection join uses
+        w_df = Window.partitionBy(*block_cols, "shingle")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(w_df))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

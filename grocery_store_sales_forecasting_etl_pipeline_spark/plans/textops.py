@@ -221,13 +221,20 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup pairs (blocked by source)
 # ---------------------------------------------------------------------------
 
-_JACCARD_ORACLE = """
+_JACCARD_MAX_DF = 25
+
+_JACCARD_ORACLE = f"""
 WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id, source,
          unnest(list_distinct(list_transform(range(1, len(tk)),
                 i -> tk[i] || ' ' || tk[i + 1]))) AS shingle
   FROM t
+),
+sh AS (
+  SELECT doc_id, source, shingle FROM (
+    SELECT sh0.*, count(*) OVER (PARTITION BY source, shingle) AS df FROM sh0
+  ) WHERE df <= {_JACCARD_MAX_DF}
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
@@ -248,11 +255,17 @@ WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 4) >= 0.08
 @register("doc_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("text", "dedup"))
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-bigram Jaccard ≥ 0.08, candidate
-    pairs blocked to equal ``source`` (operators/dedup.py:jaccard_pairs).
+    pairs blocked to equal ``source``, hot shingles (document frequency
+    > 25 within a block) dropped before the self-join
+    (operators/dedup.py:jaccard_pairs).
 
-    Scale notes: the blocking column bounds the shingle join fan-out —
-    unblocked token joins on a 100 TB corpus are quadratic; block on a
-    coarse partition or LSH bands (doc_minhash_lsh) instead.
+    Scale notes: the blocking column bounds the join fan-out across
+    sources; the df cap bounds it WITHIN a block — the self-join pays
+    Σ df² per shingle, so one boilerplate shingle in 10⁶ docs of a block
+    is 10¹² join rows without the cap and ≤ 625 with it. High-similarity
+    pairs share many rare shingles, so the cap barely perturbs recall at
+    threshold (pinned by tests/test_dedup.py). At sf0.01 no shingle
+    exceeds df 8, so the capped result is identical to the uncapped one.
     """
     return dd.jaccard_pairs(
         _t(spark, sf_dir, "documents"),
@@ -261,6 +274,7 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=2,
         threshold=0.08,
         block_cols=("source",),
+        max_df=_JACCARD_MAX_DF,
     )
 
 
