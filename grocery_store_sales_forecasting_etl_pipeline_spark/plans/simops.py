@@ -165,20 +165,137 @@ def ann_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN (second scale path; rows-only)
+# IVF ANN (second scale path; oracle via converged-centroid literals)
 # ---------------------------------------------------------------------------
 
+_IVF_K = 5
+_IVF_NPROBE = 4
+_IVF_CENTROIDS = 8
+_IVF_ITER = 3
+_IVF_MAX_TRAIN = 2048
 
-@register("ivf_ann_topk", oracle=None, tags=("similarity",))
+
+def _ivf_replay_centroids(sf_dir: str):
+    """Replay operators/similarity.ivf_train in numpy over the oracle
+    parquet: same md5-prefix sample rule, same lowest-id unit-vector
+    seeds, same Lloyd round (stable argsort assignment on normalized
+    vectors, raw-vector means via sequential np.add.at — the identical
+    accumulation the mapInPandas partialer uses — then renormalize).
+    Deterministic, so the converged centroids can be emitted as SQL
+    literals the same way ann_lsh_candidates emits its hyperplanes."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        # file order, NOT sorted — matches the Spark scan order the
+        # training batches see
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    finally:
+        con.close()
+    n = len(rows)
+    if n > _IVF_MAX_TRAIN:
+        thresh = format(max(1, int(65536 * _IVF_MAX_TRAIN / n)), "04x")
+        rows = [
+            r
+            for r in rows
+            if hashlib.md5(str(r[0]).encode()).hexdigest()[:4] < thresh
+        ]
+    seeds = sorted(rows, key=lambda r: r[0])[:_IVF_CENTROIDS]
+    if len(seeds) < _IVF_CENTROIDS:
+        raise ValueError("training sample smaller than n_centroids")
+    cents = np.array([r[1] for r in seeds], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for _ in range(_IVF_ITER):
+        order = np.argsort(-(xn @ cents.T), axis=1, kind="stable")[:, 0]
+        lists, inv = np.unique(order, return_inverse=True)
+        sums = np.zeros((len(lists), x.shape[1]))
+        np.add.at(sums, inv, x)
+        counts = np.bincount(inv, minlength=len(lists))
+        new = cents.copy()
+        for li, s, c in zip(lists, sums, counts):
+            if c > 0:
+                new[li] = s / c
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return cents
+
+
+def _ivf_sql() -> str | None:
+    """Generated oracle for ivf_ann_topk (ann_lsh_candidates pattern):
+    the k-means is seed-deterministic, so the converged centroids are
+    computed once at registration time and embedded as DuckDB literals —
+    assignment, probing, and in-list exact cosine are then plain SQL.
+    Data-dependent by construction: the literals replay training on the
+    ORACLE-scale parquet (the driver adjudicates at sf0.01), so this
+    oracle is only valid at that directory — exactly the scope the
+    driver and tests/test_oracle_parity.py compare at. Returns None
+    (rows-only fallback) if the oracle dataset is unavailable at import.
+    """
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+    try:
+        cents = _ivf_replay_centroids(sf_dir)
+    except Exception:
+        return None
+    values = ", ".join(
+        f"({li}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for li, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents(list_id, c) AS (VALUES {values}),
+ranked_lists AS (
+  SELECT v.vec_id, cents.list_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_inner_product(v.e, cents.c) DESC,
+                                     cents.list_id) AS rnk
+  FROM v CROSS JOIN cents
+),
+c_assign AS (SELECT vec_id, list_id FROM ranked_lists WHERE rnk = 1),
+q_probes AS (SELECT vec_id, list_id FROM ranked_lists
+             WHERE rnk <= {_IVF_NPROBE} AND vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, ca.vec_id AS neighbor_id
+  FROM q_probes q JOIN c_assign ca
+    ON q.list_id = ca.list_id AND ca.vec_id <> q.vec_id
+),
+sc AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(v1.e, v2.e), 6) AS cosine_sim
+  FROM cand c
+  JOIN v v1 ON v1.vec_id = c.query_id
+  JOIN v v2 ON v2.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM sc)
+WHERE rn <= {_IVF_K}
+"""
+
+
+@register("ivf_ann_topk", oracle=_ivf_sql(), tags=("similarity",))
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: deterministic spherical k-means coarse quantizer
-    (8 lists, seeds = lowest-id vectors, 5 Lloyd rounds), queries probe
+    (8 lists, seeds = lowest-id vectors, 3 Lloyd rounds), queries probe
     their 4 nearest lists, exact cosine only inside probed lists
     (operators/similarity.py:ivf_search).
 
-    Rows-only check (iterative k-means is not SQL-expressible);
-    exactness at nprobe=n_centroids and recall@10 at partial nprobe are
-    pinned by tests/test_similarity.py.
+    Oracle-checked since r4: training is seed-deterministic, so the
+    converged centroids replay in numpy at registration time and embed
+    as DuckDB literals (_ivf_sql — the ann_lsh_candidates pattern);
+    assignment ties break to the lowest list id on both sides.
+    Exactness at nprobe=n_centroids and recall@10 at partial nprobe are
+    additionally pinned by tests/test_similarity.py.
 
     Scale notes: complements the LSH path — IVF adapts its partition
     boundaries to the data distribution (k-means), so clustered corpora
@@ -189,7 +306,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.ivf_search(
-        emb, queries, k=5, nprobe=4, n_centroids=8, n_iter=3, max_train_rows=2048
+        emb,
+        queries,
+        k=_IVF_K,
+        nprobe=_IVF_NPROBE,
+        n_centroids=_IVF_CENTROIDS,
+        n_iter=_IVF_ITER,
+        max_train_rows=_IVF_MAX_TRAIN,
     )
 
 
