@@ -111,3 +111,69 @@ def click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_seconds"
         ),
     )
+
+
+_INTERVAL_JOIN_OUTER_ORACLE = """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT
+  c.user_id                         AS l_user_id,
+  c.event_id                        AS l_event_id,
+  c.ts                              AS l_ts,
+  p.event_id                        AS r_event_id,
+  p.ts                              AS r_ts,
+  p.value                           AS r_value,
+  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_seconds
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "click_purchase_interval_outer",
+    oracle=_INTERVAL_JOIN_OUTER_ORACLE,
+    tags=("streaming", "join"),
+)
+def click_purchase_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """leftOuter mode of the stream-stream interval join: every click,
+    paired with each purchase it precedes by at most one hour, or
+    null-padded when no purchase follows — the unconverted-click view
+    (streaming/events.py:interval_join ``how="leftOuter"``).
+
+    In streaming form an unmatched click is emitted only once the
+    watermark passes click_ts + lookback (a match could still arrive
+    before that), so the drained-stream result is a prefix-subset of
+    this batch result — pytest pins that containment; the DuckDB LEFT
+    JOIN oracle pins the full batch semantics here.
+
+    Scale notes: same state-bound rule as the inner mode; the outer
+    tail adds no state, only deferred emission at watermark advance.
+    """
+    import pyspark.sql.functions as F
+
+    evts = _t(spark, sf_dir, "events")
+    clicks = evts.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = evts.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = ev.interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        lookback="1 hour",
+        prefixes=("l", "r"),
+        how="leftOuter",
+    )
+    return joined.select(
+        "l_user_id",
+        "l_event_id",
+        "l_ts",
+        "r_event_id",
+        "r_ts",
+        "r_value",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).cast("long").alias(
+            "gap_seconds"
+        ),
+    )
