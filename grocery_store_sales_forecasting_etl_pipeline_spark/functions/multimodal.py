@@ -242,9 +242,11 @@ def pcm_energy_windows(
     import numpy as np
     import pandas as pd
 
+    # output id column named after id_col, not hardcoded — a non-default
+    # id_col must not yield a misnamed column
     out_schema = StructType(
         [
-            StructField("doc_id", LongType()),
+            StructField(id_col, LongType()),
             StructField("window_idx", LongType()),
             StructField("n_samples", LongType()),
             StructField("energy", LongType()),
@@ -273,7 +275,7 @@ def pcm_energy_windows(
                 energies.extend((chunks * chunks).sum(axis=1).tolist())
             out = pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
                     "window_idx": pd.Series(widx, dtype="int64"),
                     "n_samples": pd.Series([window_samples] * len(ids), dtype="int64"),
                     "energy": pd.Series(energies, dtype="int64"),

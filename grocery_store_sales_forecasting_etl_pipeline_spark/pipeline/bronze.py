@@ -114,9 +114,14 @@ def run_incremental(
     - a source absent from the day's folder is skipped (sources deliver
       on their own cadence), unlike the full run where absence raises
 
-    Returns {name: (rows_upserted, rows_quarantined)} for present
-    sources. Local existence probe is an ``os.path`` check; on an object
-    store this is the same single LIST the reader would do anyway.
+    Returns {name: (rows_written, rows_quarantined)} for present
+    sources, where rows_written counts rows PHYSICALLY WRITTEN by the
+    branch taken — the whole post-merge table for ``merge_upsert`` (its
+    portable path rewrites the table), only the affected partitions for
+    ``partition_upsert``, the full initial load on table creation. It is
+    a write-cost metric, not "rows changed". Local existence probe is an
+    ``os.path`` check; on an object store this is the same single LIST
+    the reader would do anyway.
     """
     import os
 

@@ -101,13 +101,26 @@ def _merge_upsert_delta(
     return spark.table(table).count()
 
 
+def _table_partition_cols(spark: SparkSession, table: str) -> list[str]:
+    """The table's partition columns from the catalog (empty when
+    unpartitioned) — one metadata call, no data scan."""
+    return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+
+
 def _overwrite_via_staged(spark: SparkSession, table: str, merged: DataFrame) -> int:
+    # re-apply the table's own partitioning on the rewrite: without this
+    # the first merge_upsert on a partitioned table silently flattens it
+    # (values stay correct; partition pruning is lost)
+    part_cols = _table_partition_cols(spark, table)
     # materialize before overwriting the table being read
     merged.cache()
     n = merged.count()
     merged.write.mode("overwrite").format("parquet").saveAsTable(f"{table}__staged")
     staged = spark.table(f"{table}__staged")
-    staged.write.mode("overwrite").format("parquet").saveAsTable(table)
+    w = staged.write.mode("overwrite").format("parquet")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.saveAsTable(table)
     spark.sql(f"DROP TABLE {table}__staged")
     merged.unpersist()
     return n

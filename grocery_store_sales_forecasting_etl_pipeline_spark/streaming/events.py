@@ -43,9 +43,28 @@ EVENTS_RAW_SCHEMA = StructType(
 def raw_events_schema(spark: SparkSession, path: str) -> StructType:
     """Explicit schema for a parquet events directory, probed from the
     footers so either ts generation (nanos-as-long / native micros)
-    reads correctly. One driver metadata job; no data scan."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path).schema
+    reads correctly. One driver metadata job; no data scan.
+
+    An empty/not-yet-created source directory falls back to
+    EVENTS_RAW_SCHEMA — a stream must be startable before the first file
+    arrives. The nanosAsLong conf is left set only when the landed (or
+    fallback) schema actually carries ts as long — the micro-batch scans
+    need it then; otherwise the previous session value is restored so
+    the probe leaves no session-wide residue."""
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "true")
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # noqa: BLE001 — empty dir/missing path: no footers to probe
+        schema = EVENTS_RAW_SCHEMA
+    if not isinstance(schema["ts"].dataType, LongType):
+        # native-micros generation: scans don't need the legacy conf
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    return schema
 
 
 def normalize_ts(df: DataFrame) -> DataFrame:

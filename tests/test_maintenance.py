@@ -180,3 +180,22 @@ def test_merge_upsert_delta_fast_path_matches_parquet(tmp_path_factory):
         assert got_d == got_p == [(1, "a", 1.0), (2, "b", 22.0), (3, "c", 3.0)]
     finally:
         s.stop()
+
+
+def test_merge_upsert_preserves_partitioning(spark, partitioned_table):
+    """A keyed merge on a partitioned table must rewrite WITH the
+    table's partition columns — the first upsert used to silently
+    flatten year/month partitioning (values right, pruning lost)."""
+    updates = spark.createDataFrame(
+        [(2, 99.0, "2024-01"), (4, 40.0, "2024-03")], "id long, v double, month string"
+    )
+    n = mx.merge_upsert(spark, partitioned_table, updates, keys=["id"])
+    assert n == 4
+    assert mx._table_partition_cols(spark, partitioned_table) == ["month"]
+    rows = {r.id: (r.v, r.month) for r in spark.table(partitioned_table).collect()}
+    assert rows == {1: (10.0, "2024-01"), 2: (99.0, "2024-01"), 3: (30.0, "2024-02"), 4: (40.0, "2024-03")}
+    # physical layout really is partitioned (directory per month)
+    import glob
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert glob.glob(f"{warehouse}/mxdb2.db/t/month=2024-03"), "partition dirs gone"

@@ -96,3 +96,14 @@ def test_pcm_energy_windows_framing(spark):
     # too short for one window -> no rows
     df3 = spark.createDataFrame([(3, bytearray(b"\x01\x00" * 10))], "doc_id long, content binary")
     assert mm.pcm_energy_windows(df3).count() == 0
+
+
+def test_pcm_energy_windows_honors_id_col(spark):
+    """A non-default id_col must name the output column after itself
+    (it used to hardcode doc_id)."""
+    payload = (b"\x01\x00" * 256)
+    df = spark.createDataFrame([(7, payload)], "blob_id long, content binary")
+    out = mm.pcm_energy_windows(df, id_col="blob_id")
+    assert out.columns[0] == "blob_id"
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].blob_id == 7 and rows[0].energy == 256

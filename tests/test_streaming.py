@@ -228,3 +228,35 @@ def test_stream_interval_left_outer_prefix_of_batch(spark, events_dir):
     assert got_matched == want_matched and len(want_matched) > 0
     assert set(got_unmatched) <= set(want_unmatched)
     assert got_unmatched, "no unmatched rows emitted before stream end"
+
+
+def test_raw_events_schema_empty_dir_falls_back(spark, tmp_path):
+    """A stream must be startable before the first file arrives: an
+    empty source directory falls back to the static EVENTS_RAW_SCHEMA
+    instead of dying on schema inference."""
+    empty = tmp_path / "no_events_yet"
+    empty.mkdir()
+    assert ev.raw_events_schema(spark, str(empty)) == ev.EVENTS_RAW_SCHEMA
+    # and the stream definition itself works against the empty dir
+    stream = ev.stream_events(spark, str(empty))
+    assert stream.isStreaming
+
+
+def test_raw_events_schema_restores_conf_for_micros(spark, tmp_path):
+    """When the landed generation is native micros (ts is a real
+    timestamp), the nanosAsLong probe conf must not leak session-wide."""
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    d = str(tmp_path / "micros_events")
+    spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(d)
+    prev = spark.conf.get(conf, None)
+    try:
+        spark.conf.unset(conf)
+        schema = ev.raw_events_schema(spark, d)
+        assert not isinstance(schema["ts"].dataType, __import__("pyspark.sql.types", fromlist=["LongType"]).LongType)
+        assert spark.conf.get(conf, None) is None, "probe conf leaked"
+    finally:
+        if prev is not None:
+            spark.conf.set(conf, prev)
