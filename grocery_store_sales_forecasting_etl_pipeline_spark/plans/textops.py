@@ -724,3 +724,79 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/test overlap removal)
+# ---------------------------------------------------------------------------
+
+_DECON_K = 4  # gram size; 13 in production pipelines, 4 here so the
+# synthetic corpus's template near-dups actually produce overlap to verify
+_DECON_MOD = 11  # "benchmark" = every 11th doc_id (deterministic holdout)
+
+_DECON_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - {_DECON_K} + 2),
+           i -> array_to_string(list_slice(string_split(text, ' '),
+                                           i, i + {_DECON_K} - 1), ' '))) AS grams
+  FROM documents
+),
+g AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM t),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (
+  SELECT g.doc_id, g.n_grams, count(*) AS n_hit_grams
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id % {_DECON_MOD} <> 0
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT)     AS n_grams,
+       CAST(n_hit_grams AS BIGINT) AS n_hit_grams,
+       round(n_hit_grams * 1.0 / n_grams, 4) AS hit_ratio
+FROM hits
+"""
+
+
+@register("benchmark_decontam", oracle=_DECON_ORACLE, tags=("text", "dedup"))
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag corpus documents sharing any
+    exact word 4-gram with a held-out "benchmark" set (every 11th
+    doc_id), reporting per-doc gram counts and the contaminated
+    fraction — the overlap-removal pass every published LLM corpus
+    runs against its eval suites (production uses 13-grams; 4 here so
+    the synthetic corpus's template near-dups produce verifiable hits).
+
+    Scale notes: the benchmark gram set is small by definition (eval
+    suites, not corpora) — built with one aggregation and BROADCAST to
+    the corpus-side join, so the corpus is scanned once map-side with
+    NO shuffle of corpus gram rows; the only corpus-keyed exchange is
+    the per-doc hit count on doc_id. Grams join on xxhash64 (8-byte
+    keys, not strings); distinct-gram semantics via T.shingles.
+    """
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", T.shingles("text", _DECON_K).alias("grams")
+    ).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    ).withColumn("gram", F.xxhash64("gram"))
+    bench = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").cast("long").alias("n_hit_grams"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hit_grams",
+        F.round(F.col("n_hit_grams") / F.col("n_grams"), 4).alias("hit_ratio"),
+    )

@@ -106,3 +106,12 @@ def test_simhash_candidates_band_equi_join(spark, sf_oracle):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_decontam_bench_side_broadcast(spark, sf_oracle):
+    """benchmark_decontam must broadcast the (small) benchmark gram set
+    to the corpus-side join — a shuffle of all corpus gram rows on the
+    gram key is the plan that dies at 100 TB."""
+    plan = _simple(spark, "benchmark_decontam", sf_oracle)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
