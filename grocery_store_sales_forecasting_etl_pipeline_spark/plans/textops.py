@@ -95,14 +95,23 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``shingles``) because repetition needs every occurrence counted.
 
     Scale notes: all array-side JVM expressions (size/array_distinct over
-    transform) fused with the scan — map-only over 100 TB, no shuffle,
-    no explode; per-row cost bounded by document length.
+    transform) — map-only over 100 TB, no shuffle, no explode; per-row
+    cost bounded by document length. Tokens and each gram array are
+    materialized in staged projections so they compute once per row —
+    inlining them re-evaluates the split/transform at every reference
+    (see functions/text.shingles_from_tokens).
     """
     d = _t(spark, sf_dir, "documents")
-    bg = T.ngrams("text", 2)
-    tg = T.ngrams("text", 3)
+    tokenized = d.select("doc_id", T.tokens("text").alias("__tk"))
+    grams = tokenized.select(
+        "doc_id",
+        F.size("__tk").cast("long").alias("n_tokens"),
+        T.ngrams_from_tokens(F.col("__tk"), 2).alias("__bg"),
+        T.ngrams_from_tokens(F.col("__tk"), 3).alias("__tg"),
+    )
 
-    def _dup_frac(arr):  # (size - distinct size) / size, 0.0 for empty
+    def _dup_frac(name):  # (size - distinct size) / size, 0.0 for empty
+        arr = F.col(name)
         return (
             F.when(
                 F.size(arr) > 0,
@@ -113,12 +122,12 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
         )
 
-    return d.select(
+    return grams.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        F.size(bg).cast("long").alias("n_bigrams"),
-        _dup_frac(bg).alias("dup_bigram_frac"),
-        _dup_frac(tg).alias("dup_trigram_frac"),
+        "n_tokens",
+        F.size("__bg").cast("long").alias("n_bigrams"),
+        _dup_frac("__bg").alias("dup_bigram_frac"),
+        _dup_frac("__tg").alias("dup_trigram_frac"),
     )
 
 
@@ -776,12 +785,21 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, not strings); distinct-gram semantics via T.shingles.
     """
     d = _t(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", T.shingles("text", _DECON_K).alias("grams")
+    # staged projections: tokens, then the gram array, each materialized
+    # once per row (inlining re-runs the split per element_at — 10×)
+    # explode_OUTER, deliberately: with plain explode, Catalyst's
+    # InferFiltersFromGenerate adds size(grams)>0 below the Generate and
+    # predicate pushdown re-inlines the whole shingle expression (one
+    # split per element_at) into the scan filter — measured 16× slower
+    # at sf0.1. outer suppresses the inference; the null row a
+    # zero-gram doc produces can never survive the inner hash join, so
+    # results are identical.
+    grams = d.select("doc_id", T.tokens("text").alias("__tk")).select(
+        "doc_id", T.shingles_from_tokens(F.col("__tk"), _DECON_K).alias("grams")
     ).select(
         "doc_id",
         F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        F.explode_outer("grams").alias("gram"),
     ).withColumn("gram", F.xxhash64("gram"))
     bench = (
         grams.filter(F.col("doc_id") % _DECON_MOD == 0)

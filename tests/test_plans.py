@@ -115,3 +115,15 @@ def test_decontam_bench_side_broadcast(spark, sf_oracle):
     plan = _simple(spark, "benchmark_decontam", sf_oracle)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_no_shingle_recompute_in_scan_filters(spark, sf_oracle):
+    """Guard against the InferFiltersFromGenerate pathology: no
+    shingle-family plan may carry the gram-construction expression
+    (element_at over a fresh split) inside a Filter/Scan — that
+    re-evaluates the tokenize per element access, measured 16× slower.
+    Builders avoid it via materialized token columns + explode_outer."""
+    for name in ["doc_ngram_jaccard", "doc_minhash_lsh", "benchmark_decontam",
+                 "doc_repetition", "simhash_candidates"]:
+        plan = _simple(spark, name, sf_oracle)
+        assert "element_at(split" not in plan, f"{name} re-inlines split into a filter"
