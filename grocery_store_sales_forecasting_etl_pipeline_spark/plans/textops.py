@@ -818,3 +818,64 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit_grams",
         F.round(F.col("n_hit_grams") / F.col("n_grams"), 4).alias("hit_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context packing manifest (sequence packing for pretraining)
+# ---------------------------------------------------------------------------
+
+_PACK_CONTEXT = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, start_offset,
+       CAST(floor(start_offset / {_PACK_CONTEXT}) AS BIGINT) AS context_idx,
+       CAST(start_offset % {_PACK_CONTEXT} AS BIGINT)        AS offset_in_context
+FROM c
+"""
+
+
+@register("context_packing", oracle=_PACK_ORACLE, tags=("text",))
+def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: concatenate each source's documents in
+    deterministic (doc_id) order and slice the token stream into
+    fixed-size training contexts (512 tokens) — per doc: its start
+    offset in the stream, which context window it starts in, and where.
+    This is the packing step a pretraining data loader runs; emitting
+    the MANIFEST (not the packed tensors) keeps it a pure relational op.
+
+    Scale notes: packing is per-SOURCE (one window partition each), so
+    there is no global-order single-partition bottleneck — the stream
+    is defined per source block, matching how sharded loaders actually
+    consume corpora. One shuffle on source; the running sum is a
+    single window pass; everything else is integer arithmetic in
+    codegen.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "source", T.token_count("text").alias("n_tokens"))
+    c = t.withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / _PACK_CONTEXT).cast("long").alias("context_idx"),
+        (F.col("start_offset") % _PACK_CONTEXT).cast("long").alias("offset_in_context"),
+    )
