@@ -122,8 +122,34 @@ def dedup_within_watermark(
     events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "1 hour"
 ) -> DataFrame:
     """Streaming exact dedup: state holds keys for `watermark` of event
-    time (the silver dedup D1 expressed as a stream; SURVEY.md §2.12)."""
+    time (the silver dedup D1 expressed as a stream; SURVEY.md §2.12).
+
+    Keys the state on (keys, ts): two deliveries of the same key are
+    duplicates only if they carry the SAME event time. For replayed
+    deliveries whose timestamps may differ inside a tolerance window,
+    use ``dedup_keys_within_watermark`` instead."""
     return events.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
+
+
+def dedup_keys_within_watermark(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup on the BARE key via
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+): two rows with the
+    same key dedup even when their event times differ, as long as the
+    first-seen row's time is within the watermark delay — the correct
+    semantics for at-least-once sources that re-deliver with a fresh
+    ingestion timestamp. State per key is evicted once the watermark
+    passes its first-seen time (bounded, unlike a bare
+    ``dropDuplicates(keys)`` on a stream, whose state grows forever).
+    On a BATCH frame this falls back to plain ``dropDuplicates(keys)``
+    — the watermark qualifier has no batch meaning (unified-API rule;
+    same convention as ``sessionize``)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 def sessionize(

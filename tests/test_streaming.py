@@ -260,3 +260,49 @@ def test_raw_events_schema_restores_conf_for_micros(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set(conf, prev)
+
+
+def test_stream_dedup_within_watermark_bare_keys(spark, events_dir):
+    """dropDuplicatesWithinWatermark path: bare-key dedup where
+    re-deliveries may carry different timestamps; on this duplicate-free
+    source it must agree with the batch distinct-key count."""
+    stream = ev.stream_events(spark, events_dir)
+    ev.run_to_memory(
+        spark,
+        ev.dedup_keys_within_watermark(stream, keys=("event_id",)),
+        "dedup_keys_out",
+        output_mode="append",
+    )
+    n_stream = spark.table("dedup_keys_out").count()
+    n_batch = _batch_events(spark, events_dir).select("event_id").distinct().count()
+    assert n_stream == n_batch
+
+
+def test_stream_dedup_keys_tolerates_timestamp_jitter(spark, tmp_path):
+    """A re-delivered key with a DIFFERENT timestamp inside the
+    watermark must still dedup (the case dropDuplicates([key, ts])
+    cannot handle)."""
+    import datetime as dt
+
+    d = str(tmp_path / "jitter")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 10, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(seconds=30), 10, "click", 1.0, "{}"),  # re-delivery, jittered ts
+        (2, base + dt.timedelta(minutes=1), 11, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(d)
+    stream = ev.stream_events(spark, d)
+    ev.run_to_memory(
+        spark,
+        ev.dedup_keys_within_watermark(stream, keys=("event_id",)),
+        "dedup_jitter_out",
+        output_mode="append",
+    )
+    assert spark.table("dedup_jitter_out").count() == 2
+    # batch fallback: plain key dedup
+    batch = ev.normalize_ts(spark.read.schema(ev.raw_events_schema(spark, d)).parquet(d))
+    assert ev.dedup_keys_within_watermark(batch, keys=("event_id",)).count() == 2
