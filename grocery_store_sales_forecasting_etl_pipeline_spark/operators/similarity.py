@@ -315,20 +315,13 @@ def _hyperplane_value(plane: int, dim: int) -> float:
     return u / float(2**31) - 1.0
 
 
-def lsh_sign_buckets(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 8,
-    dim: int | None = None,
-    table_id: int = 0,
-) -> DataFrame:
-    """Sign-random-projection bucket id per vector: bit p = sign of
-    <v, h_p> with md5-derived hyperplanes. Output (id, bucket) with
-    bucket in [0, 2^n_planes). Pure JVM expressions, one projection pass,
-    no shuffle. ``table_id`` selects an independent plane set."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+def lsh_sign_bucket_col(
+    vec_col: str, n_planes: int, dim: int, table_id: int = 0
+) -> Column:
+    """Sign-random-projection bucket id as a COLUMN expression: bit p =
+    sign of <v, h_p> with md5-derived hyperplane literals. Pure JVM
+    expressions — attach with ``withColumn`` so bucketing fuses into the
+    scan projection with no join and no shuffle."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = table_id * 1000 + p
@@ -338,7 +331,28 @@ def lsh_sign_buckets(
             "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
         )
         bucket = bucket + (dot > 0).cast("long") * F.lit(2**p).cast("long")
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_sign_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    table_id: int = 0,
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector: (id, bucket) with
+    bucket in [0, 2^n_planes). ``table_id`` selects an independent plane
+    set. Standalone (id, bucket) view — to bucket a frame you are about
+    to score, prefer attaching ``lsh_sign_bucket_col`` directly instead
+    of joining this back to its own source."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    return df.select(
+        F.col(id_col),
+        lsh_sign_bucket_col(vec_col, n_planes, dim, table_id).alias("bucket"),
+    )
 
 
 def _subsplit_blocks(
@@ -497,8 +511,12 @@ def lsh_ann_candidates(
     dim = len(df.select(vec_col).first()[0])  # one probe job, not one per table
     out = None
     for t in range(n_tables):
-        buckets = lsh_sign_buckets(df, id_col, vec_col, n_planes, dim=dim, table_id=t)
-        blocked = df.join(buckets, id_col)
+        # bucket as an in-place column: joining the (id, bucket) view
+        # back to its own source was a needless self-join per table —
+        # the expression fuses into the scan projection instead
+        blocked = df.withColumn(
+            "bucket", lsh_sign_bucket_col(vec_col, n_planes, dim, table_id=t)
+        )
         # bucket domain is ≤ 2^n_planes — counts always broadcastable
         pairs = in_block_pairs_gemm(
             blocked, "bucket", id_col, vec_col, threshold, round_to=6,
