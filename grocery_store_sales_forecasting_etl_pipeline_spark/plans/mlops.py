@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational import (
     weekly_lag_features,
@@ -134,4 +135,101 @@ def forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         F.col(_LABEL).alias("actual_qty"),
         F.round("predicted_transactions", 2).alias("predicted_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form forecasting: per-supplier OLS weekly trend (hash-checkable)
+# ---------------------------------------------------------------------------
+
+_TREND_MIN_WEEKS = 8
+
+_TREND_ORACLE = f"""
+WITH weekly AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+         CAST(weekofyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS wk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1, 2, 3
+),
+xy AS (
+  SELECT suppkey, y,
+         CAST(row_number() OVER (PARTITION BY suppkey ORDER BY yr, wk) AS BIGINT) AS x
+  FROM weekly
+),
+s AS (
+  SELECT suppkey,
+         count(*)        AS n,
+         sum(x)          AS sx,
+         sum(y)          AS sy,
+         sum(x * x)      AS sxx,
+         sum(x * y)      AS sxy
+  FROM xy GROUP BY suppkey
+)
+SELECT suppkey,
+       CAST(n AS BIGINT) AS n_weeks,
+       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)  AS slope,
+       round((sy * sxx - sx * sxy) * 1.0 / (n * sxx - sx * sx), 6) AS intercept,
+       round((sy * sxx - sx * sxy) * 1.0 / (n * sxx - sx * sx)
+             + (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * (n + 1), 4)
+         AS pred_next_week
+FROM s
+WHERE n >= {_TREND_MIN_WEEKS}
+"""
+
+
+@register("forecast_linear_trend", oracle=_TREND_ORACLE, tags=("ml",))
+def forecast_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form forecasting: per-supplier ordinary-least-squares trend
+    of weekly shipped quantity, with the next-week extrapolation — the
+    hash-checkable member of the forecasting family (GBT's tree
+    ensembles are structurally rows-only; a normal-equations fit is
+    exact algebra).
+
+    Engine-parity design: x is the 1..n week index (row_number over the
+    weekly series) and y an integer quantity sum, so every sufficient
+    statistic (n, Σx, Σy, Σx², Σxy) is an EXACT integer — order of
+    aggregation cannot perturb them. slope and intercept are single
+    IEEE divisions of integer-valued numerators/denominators
+    (intercept via the closed form (ΣyΣx² − ΣxΣxy)/(nΣx² − (Σx)²), not
+    slope-dependent arithmetic), so both engines round identical
+    doubles. Suppliers with < 8 weeks are dropped (denominator
+    degeneracy and meaningless fits).
+
+    Scale notes: two shuffles (weekly agg; per-supplier stats) on a
+    frame whose size is |suppliers|·|weeks| — tiny relative to lineitem;
+    everything else is map-side integer arithmetic in codegen.
+    """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = (
+        li.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("yr"),
+            F.weekofyear(F.col("l_shipdate").cast("date")).cast("long").alias("wk"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("suppkey", "yr", "wk")
+        .agg(F.sum("qty").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("suppkey").orderBy("yr", "wk")
+    xy = weekly.withColumn("x", F.row_number().over(w).cast("long"))
+    s = xy.groupBy("suppkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy * sxx - sx * sxy) / den
+    return s.filter(n >= _TREND_MIN_WEEKS).select(
+        "suppkey",
+        n.alias("n_weeks"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(intercept + slope * (n + 1), 4).alias("pred_next_week"),
     )
