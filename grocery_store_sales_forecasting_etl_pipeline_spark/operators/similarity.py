@@ -659,9 +659,18 @@ def ivf_train(
             "raise max_train_rows"
         )
 
+    # coalesce(1): the training sample is ≤ max_train_rows by
+    # construction, so single-partition Lloyd rounds cost nothing — and
+    # they make the float accumulation order a pure function of file
+    # order (one Arrow batch, one np.add.at pass), independent of how
+    # the source was split. Without this, per-batch partial sums change
+    # with partitioning (float addition is non-associative), and the
+    # registration-time numpy replay behind ivf_ann_topk's generated
+    # oracle (plans/simops._ivf_replay_centroids) could diverge from
+    # the engine's centroids on a multi-split scan.
     base = train.select(
         F.col(id_col), F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec")
-    ).persist()
+    ).coalesce(1).persist()
     try:
         for _ in range(n_iter):
             b = sc.broadcast(cents)

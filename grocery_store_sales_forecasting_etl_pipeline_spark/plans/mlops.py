@@ -147,7 +147,7 @@ _TREND_MIN_WEEKS = 8
 _TREND_ORACLE = f"""
 WITH weekly AS (
   SELECT l_suppkey AS suppkey,
-         CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+         CAST(isoyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
          CAST(weekofyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS wk,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
   FROM lineitem GROUP BY 1, 2, 3
@@ -203,10 +203,15 @@ def forecast_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
+    # ISO year + ISO week, never calendar year + ISO week: weekofyear is
+    # ISO-8601, so late-December dates can belong to week 1 of the NEXT
+    # iso year (and early-January to week 52/53 of the previous one) —
+    # calendar year() would merge both ends of a year into one bucket
+    # and misorder the series at every boundary
     weekly = (
         li.select(
             F.col("l_suppkey").alias("suppkey"),
-            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("yr"),
+            F.expr("CAST(extract(YEAROFWEEK FROM CAST(l_shipdate AS DATE)) AS BIGINT)").alias("yr"),
             F.weekofyear(F.col("l_shipdate").cast("date")).cast("long").alias("wk"),
             F.col("l_quantity").cast("long").alias("qty"),
         )

@@ -238,6 +238,14 @@ def _ivf_sql() -> str | None:
     oracle is only valid at that directory — exactly the scope the
     driver and tests/test_oracle_parity.py compare at. Returns None
     (rows-only fallback) if the oracle dataset is unavailable at import.
+
+    Float-order contract with the engine: ivf_train coalesces its
+    (bounded) sample to one partition, and _IVF_MAX_TRAIN (2048) is
+    under Arrow's 10k records-per-batch default, so the engine's
+    accumulation is one sequential np.add.at pass in file order — the
+    exact order the replay uses. Raising _IVF_MAX_TRAIN past the Arrow
+    batch size would reintroduce per-batch partials and break the
+    bitwise replay.
     """
     import os
 

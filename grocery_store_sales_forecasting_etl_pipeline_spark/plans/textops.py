@@ -791,16 +791,20 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InferFiltersFromGenerate adds size(grams)>0 below the Generate and
     # predicate pushdown re-inlines the whole shingle expression (one
     # split per element_at) into the scan filter — measured 16× slower
-    # at sf0.1. outer suppresses the inference; the null row a
-    # zero-gram doc produces can never survive the inner hash join, so
-    # results are identical.
+    # at sf0.1. outer suppresses the inference. The hash runs INSIDE the
+    # array (transform) so the row a zero-gram doc produces keeps a NULL
+    # gram key and drops out of the inner join — hashing AFTER the
+    # explode would turn that null into xxhash64(NULL) = 42, a real
+    # joinable value that could pair zero-gram docs across the sides.
     grams = d.select("doc_id", T.tokens("text").alias("__tk")).select(
         "doc_id", T.shingles_from_tokens(F.col("__tk"), _DECON_K).alias("grams")
     ).select(
         "doc_id",
         F.size("grams").cast("long").alias("n_grams"),
-        F.explode_outer("grams").alias("gram"),
-    ).withColumn("gram", F.xxhash64("gram"))
+        F.explode_outer(F.transform(F.col("grams"), lambda g: F.xxhash64(g))).alias(
+            "gram"
+        ),
+    )
     bench = (
         grams.filter(F.col("doc_id") % _DECON_MOD == 0)
         .select("gram")

@@ -51,12 +51,17 @@ def raw_events_schema(spark: SparkSession, path: str) -> StructType:
     fallback) schema actually carries ts as long — the micro-batch scans
     need it then; otherwise the previous session value is restored so
     the probe leaves no session-wide residue."""
+    from pyspark.errors import AnalysisException
+
     conf = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(conf, None)
     spark.conf.set(conf, "true")
     try:
         schema = spark.read.parquet(path).schema
-    except Exception:  # noqa: BLE001 — empty dir/missing path: no footers to probe
+    except AnalysisException:
+        # empty dir / missing path: no footers to infer from. ONLY this —
+        # transient IO/corruption errors must surface here, not resurface
+        # later as a wrong-schema stream failure far from the root cause.
         schema = EVENTS_RAW_SCHEMA
     if not isinstance(schema["ts"].dataType, LongType):
         # native-micros generation: scans don't need the legacy conf
