@@ -293,3 +293,72 @@ def token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("long").alias("re_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("byte_est_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map scalar functions (build → inspect → transform → serialize)
+# ---------------------------------------------------------------------------
+
+_MAP_FUNCS_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events WHERE user_id < 1020 GROUP BY 1, 2
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT)                                   AS n_types,
+  string_agg(event_type, ',' ORDER BY event_type)            AS types_str,
+  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS counts_str,
+  CAST(max(cnt) AS BIGINT)                                   AS max_type_count,
+  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)   AS n_frequent,
+  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN cnt END), 0) AS BIGINT)
+                                                             AS click_count,
+  CAST(2 * sum(cnt) AS BIGINT)                               AS double_total
+FROM c GROUP BY user_id
+"""
+
+
+@register("map_funcs", oracle=_MAP_FUNCS_ORACLE, tags=("functions", "map"))
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar surface: build a per-user event_type→count map
+    (``map_from_entries`` over a SORTED entry array — map iteration
+    order is insertion order, so sorting first makes every derived
+    output deterministic), then inspect and transform it with
+    ``map_keys`` / ``map_values`` / ``map_entries`` / ``element_at`` /
+    ``map_filter`` / ``transform_values``, serializing each result to a
+    scalar or string before the driver boundary (the canonicalizer can
+    hash neither maps nor arrays). The oracle computes the same values
+    relationally — maps are a Spark-side representation choice, not a
+    semantic one.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 1020)
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    agg = cnt.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    m = F.col("m")
+    return agg.select(
+        "user_id",
+        F.size(m).cast("long").alias("n_types"),
+        F.array_join(F.map_keys(m), ",").alias("types_str"),
+        F.array_join(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("counts_str"),
+        F.array_max(F.map_values(m)).alias("max_type_count"),
+        F.size(F.map_filter(m, lambda k, v: v > 1)).cast("long").alias("n_frequent"),
+        F.coalesce(F.element_at(m, F.lit("click")), F.lit(0).cast("long")).alias(
+            "click_count"
+        ),
+        F.aggregate(
+            F.map_values(F.transform_values(m, lambda k, v: v * 2)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("double_total"),
+    )
