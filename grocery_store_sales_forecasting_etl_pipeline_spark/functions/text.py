@@ -86,6 +86,30 @@ def ngrams_from_tokens(t: Column, k: int = 2) -> Column:
     )
 
 
+def winnow_select(gram_hashes: Column, w: int = 8) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS rolling-hash scheme): slide a window of ``w``
+    consecutive k-gram hashes over the document and keep the minimum
+    hash of each window. Guarantees every shared run of at least
+    ``w + k - 1`` tokens between two documents contributes at least one
+    shared fingerprint, while selecting only ~``2/(w+1)`` of all gram
+    hashes — the local-fingerprinting density/recall trade-off the
+    paper proves optimal.
+
+    ``gram_hashes`` must be an ALREADY-MATERIALIZED column of ordered
+    (non-distinct) k-gram hashes — same re-evaluation warning as
+    ``shingles_from_tokens``: passing a raw expression re-runs it inside
+    every lambda call. Hashes are compared as strings (md5 hex), which
+    orders identically in any engine, so the selection is
+    oracle-reproducible. Documents with fewer than ``w`` grams yield an
+    empty selection (the ``_gram_index`` guard).
+    """
+    return F.transform(
+        _gram_index(gram_hashes, w),
+        lambda j: F.array_min(F.slice(gram_hashes, j, w)),
+    )
+
+
 def shingles(col: str | Column, k: int = 2) -> Column:
     """Distinct word k-gram shingles. 1-indexed transform so the same
     expression is writable in ANSI SQL (element_at semantics).

@@ -883,3 +883,192 @@ def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_offset") / _PACK_CONTEXT).cast("long").alias("context_idx"),
         (F.col("start_offset") % _PACK_CONTEXT).cast("long").alias("offset_in_context"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash local fingerprinting, MOSS)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 4  # gram size
+_WINNOW_W = 8  # winnowing window (guarantee threshold t = w + k - 1 = 11)
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tk) - {_WINNOW_K} + 2),
+                        i -> md5(array_to_string(
+                               list_slice(tk, i, i + {_WINNOW_K} - 1), ' '))) AS gh
+  FROM toks WHERE len(tk) >= {_WINNOW_K}
+),
+wins AS (
+  SELECT doc_id,
+         list_transform(range(1, len(gh) - {_WINNOW_W} + 2),
+                        j -> list_min(list_slice(gh, j, j + {_WINNOW_W} - 1))) AS sel
+  FROM grams WHERE len(gh) >= {_WINNOW_W}
+)
+SELECT doc_id, fp, CAST(count(*) AS BIGINT) AS n_windows
+FROM (SELECT doc_id, unnest(sel) AS fp FROM wins)
+GROUP BY doc_id, fp
+"""
+
+
+@register("doc_winnow_fingerprints", oracle=_WINNOW_ORACLE, tags=("text", "dedup"))
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer/
+    Wilkerson/Aiken, SIGMOD'03): hash every word 4-gram, slide a window
+    of 8 consecutive gram hashes, keep the min per window — per doc the
+    selected fingerprints plus how many windows chose each. Two docs
+    sharing any 11-token run are guaranteed a common fingerprint, at
+    ~2/(w+1) the storage of the full gram set; a bucket-join on ``fp``
+    is the plagiarism/near-dup candidate generator MOSS uses.
+
+    Scale notes: tokens, gram hashes, and the window selection are three
+    staged map-only projections (each array materialized once — the
+    inlined form re-runs the split per element_at, measured 10×); the
+    only shuffle is the (doc_id, fp) count with map-side partial agg.
+    Selection density is bounded by the winnowing theorem, so output is
+    ~22% of gram volume regardless of corpus size. md5-string ordering
+    makes min-selection engine-reproducible. explode_outer suppresses
+    Catalyst's InferFiltersFromGenerate re-inlining (see
+    benchmark_decontam); the NULL row a short doc produces is dropped by
+    the post-generate fp filter, matching the oracle's length guards.
+    """
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", T.tokens("text").alias("__tk"))
+        .select(
+            "doc_id",
+            F.transform(
+                T.ngrams_from_tokens(F.col("__tk"), _WINNOW_K), F.md5
+            ).alias("__gh"),
+        )
+    )
+    wins = grams.select(
+        "doc_id", T.winnow_select(F.col("__gh"), _WINNOW_W).alias("__sel")
+    )
+    return (
+        wins.select("doc_id", F.explode_outer("__sel").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .groupBy("doc_id", "fp")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-bucketed, append-stable)
+# ---------------------------------------------------------------------------
+
+# md5-hex prefix thresholds: 'cc' = 204/256 ≈ 79.7% train,
+# 'e6' = 230/256 → ≈ 10.2% val, rest ≈ 10.2% test. Hex-string comparison
+# orders identically to the numeric hash value in every engine.
+_SPLIT_TRAIN_HI = "cc"
+_SPLIT_VAL_HI = "e6"
+
+_SPLIT_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_TRAIN_HI}'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_VAL_HI}'
+                THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM t GROUP BY source, split
+"""
+
+
+@register("dataset_split", oracle=_SPLIT_ORACLE, tags=("text",))
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment (~80/10/10
+    by md5(doc_id) prefix), reported as per-(source, split) doc and
+    token counts — the stratification audit a training pipeline runs
+    after splitting. Hashing the KEY (not random()) makes membership a
+    pure function of doc_id: re-runs, retries, and corpus appends never
+    reassign an existing document across the eval boundary, which is
+    the property that keeps a held-out set honest over months of
+    incremental ingestion.
+
+    Scale notes: the assignment is a map-only expression fused into the
+    scan; the audit aggregate shuffles only (source, split) partials —
+    a few dozen rows at any corpus size. Comparing the first two hex
+    chars lexicographically equals comparing the top byte of the hash
+    numerically, so the same split is computable in any engine or
+    language with md5 — the assignment survives engine migrations.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < _SPLIT_TRAIN_HI, "train")
+        .when(h < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"), T.token_count("text").alias("n_tokens"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup verification by edit distance (candidate pairs → levenshtein)
+# ---------------------------------------------------------------------------
+
+_NDV_ORACLE = f"""
+WITH pairs AS ({_JACCARD_ORACLE}
+)
+SELECT p.id_1, p.id_2, p.jaccard,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       round(levenshtein(a.text, b.text) * 1.0
+             / greatest(length(a.text), length(b.text)), 4) AS nld
+FROM pairs p
+JOIN documents a ON p.id_1 = a.doc_id
+JOIN documents b ON p.id_2 = b.doc_id
+"""
+
+
+@register("near_dup_verify", oracle=_NDV_ORACLE, tags=("text", "dedup"))
+def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification stage for near-dup candidate pairs:
+    take the blocked n-gram Jaccard pairs and score each with raw
+    levenshtein plus length-normalized edit distance (nld) — the exact
+    final check a dedup pipeline runs before dropping a document, on
+    the tiny surviving pair set rather than the corpus.
+
+    Scale notes: levenshtein is O(len²) per pair, so it belongs exactly
+    here — AFTER banding/blocking has cut candidates to a sliver (44
+    pairs at sf0.01 vs 125k doc pairs). The two text lookups are
+    shuffle-joins keyed on doc_id against the pair list; everything
+    stays JVM-side (``F.levenshtein`` is codegen'd). At 100 TB you'd
+    additionally cap compared length (``F.levenshtein(l, r,
+    threshold)``) to bound the quadratic term; unbounded here to match
+    the oracle exactly.
+    """
+    pairs = doc_ngram_jaccard(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_1"), F.col("text").alias("__ta"))
+    b = d.select(F.col("doc_id").alias("id_2"), F.col("text").alias("__tb"))
+    lev = F.levenshtein("__ta", "__tb")
+    return (
+        pairs.join(a, "id_1")
+        .join(b, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            "jaccard",
+            lev.cast("long").alias("lev"),
+            F.round(
+                lev / F.greatest(F.length("__ta"), F.length("__tb")), 4
+            ).alias("nld"),
+        )
+    )
