@@ -179,6 +179,115 @@ def decode_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _make_fake_resize():
+    def fake_resize(data: bytes, new_w: int, new_h: int) -> bytes:
+        """Deterministic stand-in resizer (no image libs in container):
+        stride-subsamples the raw bytes down to roughly the target pixel
+        budget. CLEARLY A FAKE — the PIL path replaces it in
+        deployments; the Spark-side plumbing around it is real."""
+        step = max(1, len(data) // max(1, new_w * new_h))
+        return data[::step]
+
+    return fake_resize
+
+
+def _make_real_resize():
+    def real_resize(data: bytes, new_w: int, new_h: int) -> bytes:
+        from io import BytesIO
+
+        from PIL import Image  # noqa: PLC0415 — import-gated on purpose
+
+        with Image.open(BytesIO(data)) as im:
+            return im.resize((new_w, new_h)).tobytes()
+
+    return real_resize
+
+
+_fake_resize = _make_fake_resize()
+_real_resize = _make_real_resize()
+
+# public handles: queries that need an ENGINE-REPRODUCIBLE digest pin the
+# deterministic path explicitly (a PIL install must not change a
+# hash-checked result); pipelines wanting real codecs omit the args
+deterministic_decode = _fake_decode
+deterministic_resize = _fake_resize
+
+
+def resize_images(
+    df: DataFrame,
+    content_col: str = "content",
+    max_side: int = 64,
+    strict: bool = False,
+    decoder: Callable[[bytes], tuple[int, int, int]] | None = None,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize via ``mapInPandas``: decode dims, fit the longest
+    side to ``max_side`` (aspect preserved, never upscale, floor to
+    ints, min 1 px), and emit the resized blob plus audit columns
+    (``new_width/new_height/resized/resized_len/resized_byte_sum``).
+    Decoder/resizer resolution mirrors ``decode_images``: explicit arg →
+    PIL if importable → deterministic fake (or NotImplementedError when
+    ``strict``). The dims arithmetic is plain IEEE double ops
+    (``floor(w * (max_side / max(w, h)))``) so an external SQL oracle
+    reproduces it bit-for-bit; ``resized_byte_sum`` (integer sum of the
+    resized bytes) puts the fake path's CONTENT under the same check.
+
+    Scale notes: one Python crossing per Arrow batch; the blob never
+    round-trips back — resized bytes are produced in the same batch the
+    source bytes arrive in. Size ``arrow.maxRecordsPerBatch`` so
+    batch_rows × max_blob_bytes fits executor memory.
+    """
+    import pandas as pd
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + DECODED_SCHEMA_FIELDS
+        + [
+            StructField("new_width", LongType()),
+            StructField("new_height", LongType()),
+            StructField("resized", BinaryType()),
+            StructField("resized_len", LongType()),
+            StructField("resized_byte_sum", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec, rsz = decoder, resizer
+        if dec is None or rsz is None:
+            try:
+                import PIL  # noqa: F401
+
+                dec = dec or _real_decode
+                rsz = rsz or _real_resize
+            except ImportError:
+                if strict:
+                    raise NotImplementedError(
+                        "no image codec available: install PIL or pass "
+                        "decoder=/resizer="
+                    )
+                dec = dec or _fake_decode
+                rsz = rsz or _fake_resize
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                data = bytes(b)
+                w, h, ch = dec(data)
+                scale = min(1.0, max_side / max(w, h))
+                nw = max(1, int(w * scale))
+                nh = max(1, int(h * scale))
+                out = rsz(data, nw, nh)
+                rows.append((w, h, ch, nw, nh, out, len(out), sum(out)))
+            pdf = pdf.copy()
+            for i, c in enumerate(
+                ["width", "height", "n_channels", "new_width", "new_height",
+                 "resized", "resized_len", "resized_byte_sum"]
+            ):
+                pdf[c] = [r[i] for r in rows]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def byte_histogram_features(
     df: DataFrame, content_col: str = "content", n_bins: int = 64
 ) -> DataFrame:

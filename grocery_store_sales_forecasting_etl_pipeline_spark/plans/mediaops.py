@@ -140,3 +140,80 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_media_from_text(docs)
     return mm.pcm_energy_windows(media, content_col="content", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Image resize plumbing (decode → fit box → resized blob, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+_RESIZE_MAX_SIDE = 64
+
+_RESIZE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex('RIFF' || text) AS hx, md5('RIFF' || text) AS mh
+  FROM documents
+),
+d AS (
+  SELECT doc_id, hx,
+         64 + (('0x' || substr(mh, 1, 2))::INT % 192) AS w,
+         64 + (('0x' || substr(mh, 3, 2))::INT % 192) AS h,
+         length(hx) // 2 AS blen
+  FROM b
+),
+s AS (
+  SELECT *,
+    greatest(1, CAST(floor(w * least(1.0, {_RESIZE_MAX_SIDE}.0
+                                          / greatest(w, h))) AS INT)) AS nw,
+    greatest(1, CAST(floor(h * least(1.0, {_RESIZE_MAX_SIDE}.0
+                                          / greatest(w, h))) AS INT)) AS nh
+  FROM d
+),
+z AS (
+  SELECT *, greatest(1, blen // greatest(1, nw * nh)) AS step FROM s
+)
+SELECT doc_id,
+  CAST(w AS BIGINT)  AS width,
+  CAST(h AS BIGINT)  AS height,
+  CAST(nw AS BIGINT) AS new_width,
+  CAST(nh AS BIGINT) AS new_height,
+  CAST((blen + step - 1) // step AS BIGINT) AS resized_len,
+  CAST(list_sum(list_transform(
+         range(0, CAST((blen + step - 1) // step AS INT)),
+         i -> ('0x' || substr(hx, CAST(2 * i * step + 1 AS INT), 2))::INT))
+       AS BIGINT) AS resized_byte_sum
+FROM z
+"""
+
+
+@register("image_resize", oracle=_RESIZE_ORACLE, tags=("multimodal",))
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing through the Python boundary: decode dims,
+    fit the longest side to 64 px (aspect preserved, never upscale),
+    emit the resized blob — digested to (new dims, byte length, integer
+    byte sum) so the SQL oracle re-derives the whole path including the
+    resized CONTENT. Pins the deterministic decoder/resizer
+    (functions/multimodal.py:resize_images): a PIL install must not
+    change a hash-checked result; real-codec use just omits those args.
+
+    Scale notes: single ``mapInPandas`` crossing — decode, box fit, and
+    resize happen inside one Arrow batch; no blob ever crosses twice.
+    The output digest columns are computed Python-side in the same
+    pass, so the exchange after it carries scalars, not blobs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media_from_text(docs)
+    out = mm.resize_images(
+        media,
+        max_side=_RESIZE_MAX_SIDE,
+        decoder=mm.deterministic_decode,
+        resizer=mm.deterministic_resize,
+    )
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "new_width",
+        "new_height",
+        "resized_len",
+        "resized_byte_sum",
+    )

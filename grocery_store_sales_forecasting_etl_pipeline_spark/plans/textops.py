@@ -1072,3 +1072,73 @@ def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nld"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture sampling (data-mixing rates per source)
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 flattening: per-source quota = ceil(sqrt(n_s)) * 4, so a
+# source's sampling RATE scales as ~4/sqrt(n_s) — big sources are
+# down-weighted, small ones kept, the standard temperature trick for
+# balancing a multi-source pretraining mixture. Membership test is pure
+# integer math: doc's 24-bit md5 prefix u < quota * 2^24 / n_s, written
+# cross-multiplied (u * n_s < quota * 2^24) so no engine ever divides.
+_MIX_QUOTA_MULT = 4
+_MIX_HASH_SPACE = 16**6  # 24-bit prefix
+
+_MIX_ORACLE = f"""
+WITH c AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+t AS (
+  SELECT d.doc_id, d.source, c.n_s,
+         CAST(ceil(sqrt(c.n_s)) AS BIGINT) * {_MIX_QUOTA_MULT} AS quota,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
+  FROM documents d JOIN c USING (source)
+)
+SELECT doc_id, source,
+       CAST(n_s AS BIGINT) AS source_docs,
+       quota               AS source_quota
+FROM t WHERE u * n_s < quota * {_MIX_HASH_SPACE}
+"""
+
+
+@register("temperature_mixture_sample", oracle=_MIX_ORACLE, tags=("text",))
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (alpha = 0.5): each
+    source's expected sample size is ~4·sqrt(n_s), so over-represented
+    sources are down-sampled toward a balanced pretraining mixture —
+    the data-mixing step between curation and packing. The random draw
+    is the doc's 24-bit md5 prefix against a per-source rate — fully
+    deterministic given the corpus snapshot (re-runs reproduce the
+    subset bit-for-bit; unlike ``dataset_split`` the RATE adapts as a
+    source grows, which is the point of mixing); rate-based (binomial
+    around the quota) rather than exact top-k, which is what keeps it
+    scalable.
+
+    Scale notes: per-source counts are a tiny aggregate BROADCAST back
+    to the corpus scan, making selection map-only — no corpus shuffle
+    and no per-source sort (an exact top-k-by-hash variant would sort
+    each source's docs in one partition; at 100 TB a single source is
+    itself terabytes, so the rate test is the design that survives).
+    The threshold compare is cross-multiplied integer math — exact in
+    any engine, no float rate to drift in the last ulp.
+    """
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").cast("long").alias("source_docs"))
+        .withColumn(
+            "source_quota",
+            (F.ceil(F.sqrt("source_docs")) * _MIX_QUOTA_MULT).cast("long"),
+        )
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    )
+    return (
+        d.join(F.broadcast(counts), "source")
+        .filter(u * F.col("source_docs") < F.col("source_quota") * F.lit(_MIX_HASH_SPACE))
+        .select("doc_id", "source", "source_docs", "source_quota")
+    )

@@ -107,3 +107,77 @@ def test_pcm_energy_windows_honors_id_col(spark):
     assert out.columns[0] == "blob_id"
     rows = out.collect()
     assert len(rows) == 1 and rows[0].blob_id == 7 and rows[0].energy == 256
+
+
+def test_resize_images_fake_path(spark, blob_dir):
+    """Resize plumbing: dims fit the box, content matches the exact
+    stride-subsample the fake resizer defines, digests agree with a
+    local recompute."""
+    import hashlib
+
+    df = mm.read_binary_dir(spark, blob_dir)
+    out = {r.path.split("/")[-1]: r for r in mm.resize_images(df, max_side=64).collect()}
+    raw = {"a.png": PNG, "b.jpg": JPG, "c.wav": WAV}
+    for name, r in out.items():
+        data = raw[name]
+        h = hashlib.md5(data).digest()
+        w, hh = 64 + h[0] % 192, 64 + h[1] % 192
+        assert (r.width, r.height) == (w, hh)
+        assert max(r.new_width, r.new_height) <= 64
+        assert r.new_width >= 1 and r.new_height >= 1
+        # aspect preserved within floor rounding
+        scale = min(1.0, 64 / max(w, hh))
+        assert r.new_width == max(1, int(w * scale))
+        assert r.new_height == max(1, int(hh * scale))
+        step = max(1, len(data) // max(1, r.new_width * r.new_height))
+        expect = data[::step]
+        assert bytes(r.resized) == expect
+        assert r.resized_len == len(expect)
+        assert r.resized_byte_sum == sum(expect)
+
+
+def test_resize_images_injected_resizer(spark, blob_dir):
+    df = mm.read_binary_dir(spark, blob_dir)
+    out = mm.resize_images(
+        df,
+        decoder=lambda b: (128, 32, 3),
+        resizer=lambda b, w, h: bytes([w, h]),
+    ).collect()
+    for r in out:
+        assert (r.new_width, r.new_height) == (64, 16)
+        assert bytes(r.resized) == bytes([64, 16])
+
+
+def test_temperature_mixture_flattens(spark, sf_oracle):
+    """Selection rate per source is quota/n_s (binomial tolerance), the
+    draw is reproducible, and the per-doc uniform u matches the rate
+    test (u * n_s < quota * 16^6) recomputed locally."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.textops import (
+        temperature_mixture_sample,
+    )
+
+    sel = temperature_mixture_sample(spark, sf_oracle)
+    rows = sel.collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, picked in by_source.items():
+        n_s, quota = picked[0].source_docs, picked[0].source_quota
+        # expected quota docs, binomial sd = sqrt(q(1-q/n)) — allow 4 sd
+        sd = (quota * max(0.0, 1 - quota / n_s)) ** 0.5
+        assert abs(len(picked) - quota) <= 4 * sd + 3, (src, len(picked), quota)
+    # recompute membership locally: selected iff u * n_s < quota * 16^6
+    import hashlib
+
+    docs = _t(spark, sf_oracle, "documents").select("doc_id", "source").collect()
+    n_by_src = {}
+    for d in docs:
+        n_by_src[d.source] = n_by_src.get(d.source, 0) + 1
+    import math
+
+    ids = {r.doc_id for r in rows}
+    for d in docs:
+        n_s = n_by_src[d.source]
+        quota = math.ceil(math.sqrt(n_s)) * 4
+        u = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:6], 16)
+        assert (u * n_s < quota * 16**6) == (d.doc_id in ids), d.doc_id
