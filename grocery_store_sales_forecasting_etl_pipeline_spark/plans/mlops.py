@@ -238,3 +238,104 @@ def forecast_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round(intercept + slope * (n + 1), 4).alias("pred_next_week"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward backtest: naive vs seasonal-naive baselines, exact MAE
+# ---------------------------------------------------------------------------
+
+_BT_SEASON = 4  # "seasonal" lag in observations (≈ monthly cycle)
+_BT_MIN_EVAL = 8
+
+_BACKTEST_ORACLE = f"""
+WITH weekly AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(isoyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+         CAST(weekofyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS wk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1, 2, 3
+),
+lagged AS (
+  SELECT suppkey, y,
+         lag(y, 1) OVER (PARTITION BY suppkey ORDER BY yr, wk) AS p1,
+         lag(y, {_BT_SEASON}) OVER (PARTITION BY suppkey ORDER BY yr, wk) AS p4
+  FROM weekly
+),
+ev AS (
+  SELECT suppkey,
+         count(*)           AS n_eval,
+         sum(abs(y - p1))   AS ae1,
+         sum(y - p1)        AS be1,
+         sum(abs(y - p4))   AS ae4
+  FROM lagged WHERE p4 IS NOT NULL GROUP BY suppkey
+)
+SELECT suppkey,
+       CAST(n_eval AS BIGINT)              AS n_eval,
+       round(ae1 * 1.0 / n_eval, 4)        AS mae_naive,
+       round(be1 * 1.0 / n_eval, 4)        AS bias_naive,
+       round(ae4 * 1.0 / n_eval, 4)        AS mae_seasonal,
+       CASE WHEN ae4 < ae1 THEN 'seasonal' ELSE 'naive' END AS better_model
+FROM ev WHERE n_eval >= {_BT_MIN_EVAL}
+"""
+
+
+@register("forecast_backtest_eval", oracle=_BACKTEST_ORACLE, tags=("ml", "window"))
+def forecast_backtest_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of two forecasting baselines on the weekly
+    quantity series: naive (previous observation) and seasonal-naive
+    (the observation 4 steps back), scored per supplier with MAE and
+    bias plus the winning model — the evaluation harness every
+    forecasting deployment runs before trusting a model, and the
+    honesty check for the GBT/OLS members of this family.
+
+    Engine-parity design: predictions are lagged INTEGER values, so the
+    absolute-error and bias accumulators are exact integer sums immune
+    to float-add ordering; each metric is then a single IEEE division.
+    MAPE is deliberately absent — a per-row float ratio sum would be
+    order-dependent across engines (and undefined at y=0).
+
+    Scale notes: one shuffle builds the weekly frame, and the lag
+    window + per-supplier aggregate both key on suppkey, so Catalyst
+    reuses the second exchange (window then partial-agg in the same
+    stage). Everything downstream of the weekly frame is
+    |suppliers|x|weeks| — thousands of times smaller than lineitem.
+    """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = (
+        li.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.expr(
+                "CAST(extract(YEAROFWEEK FROM CAST(l_shipdate AS DATE)) AS BIGINT)"
+            ).alias("yr"),
+            F.weekofyear(F.col("l_shipdate").cast("date")).cast("long").alias("wk"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("suppkey", "yr", "wk")
+        .agg(F.sum("qty").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("suppkey").orderBy("yr", "wk")
+    lagged = weekly.select(
+        "suppkey",
+        "y",
+        F.lag("y", 1).over(w).alias("p1"),
+        F.lag("y", _BT_SEASON).over(w).alias("p4"),
+    ).filter(F.col("p4").isNotNull())
+    y, p1, p4 = F.col("y"), F.col("p1"), F.col("p4")
+    ev = lagged.groupBy("suppkey").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.abs(y - p1)).alias("ae1"),
+        F.sum(y - p1).alias("be1"),
+        F.sum(F.abs(y - p4)).alias("ae4"),
+    )
+    return ev.filter(F.col("n_eval") >= _BT_MIN_EVAL).select(
+        "suppkey",
+        "n_eval",
+        F.round(F.col("ae1") / F.col("n_eval"), 4).alias("mae_naive"),
+        F.round(F.col("be1") / F.col("n_eval"), 4).alias("bias_naive"),
+        F.round(F.col("ae4") / F.col("n_eval"), 4).alias("mae_seasonal"),
+        F.when(F.col("ae4") < F.col("ae1"), "seasonal")
+        .otherwise("naive")
+        .alias("better_model"),
+    )

@@ -128,3 +128,11 @@ def test_no_shingle_recompute_in_scan_filters(spark, sf_oracle):
                  "doc_winnow_fingerprints", "near_dup_verify"]:
         plan = _simple(spark, name, sf_oracle)
         assert "element_at(split" not in plan, f"{name} re-inlines split into a filter"
+
+
+def test_backtest_two_exchanges_agg_fused_with_window(spark, sf_oracle):
+    """forecast_backtest_eval: exactly two exchanges (weekly agg, then
+    suppkey repartition) — the per-supplier metric aggregate must reuse
+    the window's suppkey partitioning, not add a third shuffle."""
+    plan = _simple(spark, "forecast_backtest_eval", sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
