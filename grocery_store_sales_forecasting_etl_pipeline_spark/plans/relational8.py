@@ -343,3 +343,99 @@ def grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-level data profiling (the DQ audit behind the quality gates)
+# ---------------------------------------------------------------------------
+
+# (name, typed-min/max SQL expression, stringified-value SQL expression)
+# o_totalprice goes through DECIMAL(12,2) before stringifying: double →
+# varchar formatting diverges across engines (scientific notation
+# thresholds); decimal renders identically everywhere.
+_PROFILE_COLS = (
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_totalprice", "CAST(o_totalprice AS DECIMAL(12,2))"),
+    ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+    ("o_orderpriority", "o_orderpriority"),
+)
+
+# min/max are TYPED (numeric/date order), stringified after — matching
+# the Spark side's padded-sort-key-then-strip trick; a lexicographic min
+# over the value strings would rank "10.50" before "9.99"
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS col_name,
+       CAST(count(*) AS BIGINT)               AS n_rows,
+       CAST(count({typed}) AS BIGINT)         AS n_nonnull,
+       CAST(count(DISTINCT {typed}) AS BIGINT) AS n_distinct,
+       CAST(min({typed}) AS VARCHAR)          AS min_val,
+       CAST(max({typed}) AS VARCHAR)          AS max_val
+FROM orders"""
+    for name, typed in _PROFILE_COLS
+)
+
+
+@register("table_profile", oracle=_PROFILE_ORACLE, tags=("quality",))
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profile (row/null/distinct counts, min/max)
+    for a representative column set of ``orders`` — the profiling sweep
+    a data-quality system runs before choosing gate thresholds
+    (operators/quality.py holds the gates; this is the audit that
+    parameterizes them).
+
+    Scale notes: one map-only unpivot (``stack`` → Expand, |cols|× row
+    multiplier of NARROW (name, value) pairs — how every distributed
+    profiler pays for exact distincts) then a single aggregation keyed
+    on col_name. Exact count(DISTINCT) plans as the standard two-phase
+    expand; at 100 TB swap in approx_count_distinct per column in ONE
+    pass (tests/test_sketches.py pins its error envelope) — exact here
+    because the oracle must hash-match. min/max must follow NUMERIC
+    order, but the unpivoted values are strings (lexicographic would
+    rank "10.50" before "9.99"), so the numeric columns aggregate over
+    a zero-padded fixed-width sort key that makes the two orders agree,
+    unpadded on output — keeping the profile to ONE scan.
+    """
+    o = _t(spark, sf_dir, "orders")
+    # lexicographic == numeric for the two bigint keys only when
+    # zero-padded to fixed width; decimal(12,2)/date/priority strings
+    # already order correctly. Pad for ordering, strip for display.
+    pads = {"o_orderkey": 12, "o_custkey": 12, "o_totalprice": 13}
+    stack_args = []
+    for name, _ in _PROFILE_COLS:
+        if name == "o_totalprice":
+            val = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)"
+        elif name == "o_orderdate":
+            val = "CAST(CAST(o_orderdate AS DATE) AS STRING)"
+        else:
+            val = f"CAST({name} AS STRING)"
+        stack_args.append(f"'{name}', {val}")
+    unpivot = o.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS (col_name, val)"
+    )
+    pad_expr = F.when(
+        F.col("col_name").isin(*pads), F.lpad("val", 14, "0")
+    ).otherwise(F.col("val"))
+    prof = (
+        unpivot.withColumn("ord", pad_expr)
+        .groupBy("col_name")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("val").cast("long").alias("n_nonnull"),
+            F.count_distinct("val").cast("long").alias("n_distinct"),
+            F.min("ord").alias("min_pad"),
+            F.max("ord").alias("max_pad"),
+        )
+    )
+    strip = lambda c: F.when(  # noqa: E731
+        F.col("col_name").isin(*pads),
+        F.regexp_replace(c, "^0+(?=\\d)", ""),
+    ).otherwise(c)
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        strip(F.col("min_pad")).alias("min_val"),
+        strip(F.col("max_pad")).alias("max_val"),
+    )
