@@ -113,3 +113,27 @@ def test_dataset_split_stable_under_append(spark, sf_oracle):
     agg = dataset_split(spark, sf_oracle)
     assert agg.columns == ["source", "split", "n_docs", "n_tokens"]
     assert agg.agg(F.sum("n_docs")).first()[0] == n
+
+
+def test_winnow_containment_fuzz(spark):
+    """Seeded fuzz of the winnowing guarantee: 20 random doc pairs, each
+    sharing one random >= (w+k-1)-token run at random positions inside
+    otherwise-disjoint token streams, batched through ONE Spark job —
+    every pair must share a fingerprint; disjoint controls must not."""
+    import random
+
+    rng = random.Random(42)
+    t = _WINNOW_W + _WINNOW_K - 1
+    texts = []
+    for p in range(20):
+        shared = [f"p{p}s{i}" for i in range(t + rng.randrange(0, 6))]
+        left = [f"p{p}a{i}" for i in range(rng.randrange(0, 30))]
+        right = [f"p{p}b{i}" for i in range(rng.randrange(0, 30))]
+        texts.append(" ".join(left + shared + [f"p{p}at{i}" for i in range(rng.randrange(0, 30))]))
+        texts.append(" ".join(right + shared + [f"p{p}bt{i}" for i in range(rng.randrange(0, 30))]))
+    fps = _fingerprints(spark, texts)
+    for p in range(20):
+        a, b = fps[2 * p], fps[2 * p + 1]
+        assert a & b, f"pair {p} shares a {t}+-token run but no fingerprint"
+    # control: docs from different pairs share no tokens → no fingerprints
+    assert not (fps[0] & fps[3])
