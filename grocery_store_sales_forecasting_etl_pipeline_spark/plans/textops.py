@@ -1142,3 +1142,74 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u * F.col("source_docs") < F.col("source_quota") * F.lit(_MIX_HASH_SPACE))
         .select("doc_id", "source", "source_docs", "source_quota")
     )
+
+
+# ---------------------------------------------------------------------------
+# Novelty scoring (first-occurrence n-gram attribution)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_K = 3
+
+_NOVELTY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(tk) - {_NOVELTY_K} + 2),
+           i -> array_to_string(list_slice(tk, i, i + {_NOVELTY_K} - 1), ' ')))) AS gram
+  FROM t WHERE len(tk) >= {_NOVELTY_K}
+),
+m AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_doc FROM g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS novelty
+FROM m GROUP BY doc_id
+"""
+
+
+@register("doc_novelty", oracle=_NOVELTY_ORACLE, tags=("text", "dedup"))
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty score: the fraction of each document's
+    distinct word 3-grams that FIRST appear in that document (ingestion
+    order = doc_id) — boilerplate and near-duplicates score near 0,
+    genuinely new text near 1. This is the streaming-corpus curation
+    signal that catches template spam which per-pair dedup only finds
+    quadratically.
+
+    Scale notes: single corpus scan — first-occurrence is a min(doc_id)
+    window over the gram partition (the doc_tfidf_topk trick: a
+    groupBy-min + join-back would re-scan and re-explode the corpus or
+    broadcast a vocabulary that doesn't exist at 100 TB), then one
+    doc-keyed aggregate; two shuffles of the compact (doc, gram) frame,
+    map-side partials absorbing the Zipf head. explode_outer suppresses
+    InferFiltersFromGenerate re-inlining the shingle expression into
+    the scan (see benchmark_decontam).
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", T.tokens("text").alias("__tk"))
+        .select(
+            "doc_id",
+            F.explode_outer(T.shingles_from_tokens(F.col("__tk"), _NOVELTY_K)).alias(
+                "gram"
+            ),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    w = Window.partitionBy("gram")
+    marked = grams.withColumn("first_doc", F.min("doc_id").over(w))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(novel).cast("long").alias("n_novel"),
+        F.round(F.sum(novel) / F.count("*"), 4).alias("novelty"),
+    )

@@ -125,7 +125,7 @@ def test_no_shingle_recompute_in_scan_filters(spark, sf_oracle):
     Builders avoid it via materialized token columns + explode_outer."""
     for name in ["doc_ngram_jaccard", "doc_minhash_lsh", "benchmark_decontam",
                  "doc_repetition", "simhash_candidates",
-                 "doc_winnow_fingerprints", "near_dup_verify"]:
+                 "doc_winnow_fingerprints", "near_dup_verify", "doc_novelty"]:
         plan = _simple(spark, name, sf_oracle)
         assert "element_at(split" not in plan, f"{name} re-inlines split into a filter"
 
