@@ -439,3 +439,91 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip(F.col("min_pad")).alias("min_val"),
         strip(F.col("max_pad")).alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-statistic correlation (corr/covar without float-sum drift)
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH joined AS (
+  SELECT n.n_name,
+         CAST(l.l_quantity AS BIGINT)              AS x,
+         CAST(round(l.l_extendedprice) AS BIGINT)  AS y
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+),
+s AS (
+  SELECT n_name,
+         count(*)    AS n,
+         sum(x)      AS sx,
+         sum(y)      AS sy,
+         sum(x * x)  AS sxx,
+         sum(x * y)  AS sxy,
+         sum(y * y)  AS syy
+  FROM joined GROUP BY n_name
+)
+SELECT n_name,
+  CAST(n AS BIGINT) AS n_items,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    AS corr_qty_price,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 4)
+    AS covar_qty_price
+FROM s
+"""
+
+
+@register("nation_qty_price_corr", oracle=_CORR_ORACLE, tags=("agg", "ml"))
+def nation_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Pearson correlation + sample covariance between line
+    quantity and (whole-dollar) extended price — the statistical
+    profiling pass behind feature selection, computed from EXACT
+    integer sufficient statistics rather than ``F.corr``: the built-in
+    accumulates doubles in partition order, so its last ulp differs
+    run-to-run and engine-to-engine; integer Σx/Σy/Σxx/Σxy/Σyy are
+    order-free, and the closed form then applies identical IEEE ops on
+    identical inputs in any engine.
+
+    Scale notes: supplier⋈nation is dim-sized and BROADCAST, so
+    lineitem never shuffles for the join; the stats aggregate is one
+    shuffle of 25 nation partials with map-side combine. Whole-dollar y
+    keeps Σy² under 2^63 to ~10 TB per group; past that, promote the
+    two squared-sum columns to decimal(38,0) — same plan shape.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey))
+    j = li.join(dim, li.l_suppkey == dim.s_suppkey).select(
+        "n_name",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    s = j.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy, sxx, sxy, syy = (F.col(c).cast("double") for c in ("sx", "sy", "sxx", "sxy", "syy"))
+    num = nd * sxy - sx * sy
+    return s.select(
+        "n_name",
+        F.col("n").alias("n_items"),
+        F.round(
+            num / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+        F.round(num / (nd * (nd - F.lit(1.0))), 4).alias("covar_qty_price"),
+    )
