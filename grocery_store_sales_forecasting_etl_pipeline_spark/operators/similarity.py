@@ -659,18 +659,27 @@ def ivf_train(
             "raise max_train_rows"
         )
 
-    # coalesce(1): the training sample is ≤ max_train_rows by
-    # construction, so single-partition Lloyd rounds cost nothing — and
-    # they make the float accumulation order a pure function of file
-    # order (one Arrow batch, one np.add.at pass), independent of how
-    # the source was split. Without this, per-batch partial sums change
-    # with partitioning (float addition is non-associative), and the
+    # repartition(1) + sortWithinPartitions, NOT coalesce(1): coalesce
+    # propagates up the narrow lineage, so it would run the FULL corpus
+    # scan + sample filter in one task — a serial 100 TB read. The
+    # round-robin shuffle moves only the ≤ max_train_rows sample to a
+    # single partition (scan stays parallel), and the id sort makes the
+    # float accumulation order a pure function of the sampled IDS (one
+    # Arrow batch, one np.add.at pass) rather than of file/shuffle
+    # arrival order, which is nondeterministic after repartition. Float
+    # addition is non-associative, so without a pinned order the
     # registration-time numpy replay behind ivf_ann_topk's generated
-    # oracle (plans/simops._ivf_replay_centroids) could diverge from
-    # the engine's centroids on a multi-split scan.
-    base = train.select(
-        F.col(id_col), F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec")
-    ).coalesce(1).persist()
+    # oracle (plans/simops._ivf_replay_centroids, which sorts by id the
+    # same way) could diverge from the engine's centroids.
+    base = (
+        train.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vec"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(id_col)
+        .persist()
+    )
     try:
         for _ in range(n_iter):
             b = sc.broadcast(cents)

@@ -142,16 +142,46 @@ def forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Closed-form forecasting: per-supplier OLS weekly trend (hash-checkable)
 # ---------------------------------------------------------------------------
 
-_TREND_MIN_WEEKS = 8
-
-_TREND_ORACLE = f"""
-WITH weekly AS (
+# shared weekly series for the closed-form forecasting family: both the
+# OLS trend and the backtest bucket by ISO (year, week) — one definition
+# so the series can never silently desynchronize between them
+_WEEKLY_QTY_CTE = """WITH weekly AS (
   SELECT l_suppkey AS suppkey,
          CAST(isoyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
          CAST(weekofyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS wk,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
   FROM lineitem GROUP BY 1, 2, 3
-),
+),"""
+
+
+def _weekly_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(supplier, ISO year, ISO week) integer quantity sums — the
+    Spark twin of _WEEKLY_QTY_CTE. ISO year + ISO week, never calendar
+    year + ISO week: weekofyear is ISO-8601, so late-December dates can
+    belong to week 1 of the NEXT iso year (and early-January to week
+    52/53 of the previous one) — calendar year() would merge both ends
+    of a year into one bucket and misorder the series at every
+    boundary. Integer y keeps every downstream sufficient statistic
+    exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.expr(
+                "CAST(extract(YEAROFWEEK FROM CAST(l_shipdate AS DATE)) AS BIGINT)"
+            ).alias("yr"),
+            F.weekofyear(F.col("l_shipdate").cast("date")).cast("long").alias("wk"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("suppkey", "yr", "wk")
+        .agg(F.sum("qty").cast("long").alias("y"))
+    )
+
+
+_TREND_MIN_WEEKS = 8
+
+_TREND_ORACLE = f"""
+{_WEEKLY_QTY_CTE}
 xy AS (
   SELECT suppkey, y,
          CAST(row_number() OVER (PARTITION BY suppkey ORDER BY yr, wk) AS BIGINT) AS x
@@ -202,22 +232,7 @@ def forecast_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    li = _t(spark, sf_dir, "lineitem")
-    # ISO year + ISO week, never calendar year + ISO week: weekofyear is
-    # ISO-8601, so late-December dates can belong to week 1 of the NEXT
-    # iso year (and early-January to week 52/53 of the previous one) —
-    # calendar year() would merge both ends of a year into one bucket
-    # and misorder the series at every boundary
-    weekly = (
-        li.select(
-            F.col("l_suppkey").alias("suppkey"),
-            F.expr("CAST(extract(YEAROFWEEK FROM CAST(l_shipdate AS DATE)) AS BIGINT)").alias("yr"),
-            F.weekofyear(F.col("l_shipdate").cast("date")).cast("long").alias("wk"),
-            F.col("l_quantity").cast("long").alias("qty"),
-        )
-        .groupBy("suppkey", "yr", "wk")
-        .agg(F.sum("qty").cast("long").alias("y"))
-    )
+    weekly = _weekly_qty(spark, sf_dir)
     w = Window.partitionBy("suppkey").orderBy("yr", "wk")
     xy = weekly.withColumn("x", F.row_number().over(w).cast("long"))
     s = xy.groupBy("suppkey").agg(
@@ -248,13 +263,7 @@ _BT_SEASON = 4  # "seasonal" lag in observations (≈ monthly cycle)
 _BT_MIN_EVAL = 8
 
 _BACKTEST_ORACLE = f"""
-WITH weekly AS (
-  SELECT l_suppkey AS suppkey,
-         CAST(isoyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
-         CAST(weekofyear(CAST(l_shipdate AS DATE)) AS BIGINT) AS wk,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
-  FROM lineitem GROUP BY 1, 2, 3
-),
+{_WEEKLY_QTY_CTE}
 lagged AS (
   SELECT suppkey, y,
          lag(y, 1) OVER (PARTITION BY suppkey ORDER BY yr, wk) AS p1,
@@ -302,19 +311,7 @@ def forecast_backtest_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    li = _t(spark, sf_dir, "lineitem")
-    weekly = (
-        li.select(
-            F.col("l_suppkey").alias("suppkey"),
-            F.expr(
-                "CAST(extract(YEAROFWEEK FROM CAST(l_shipdate AS DATE)) AS BIGINT)"
-            ).alias("yr"),
-            F.weekofyear(F.col("l_shipdate").cast("date")).cast("long").alias("wk"),
-            F.col("l_quantity").cast("long").alias("qty"),
-        )
-        .groupBy("suppkey", "yr", "wk")
-        .agg(F.sum("qty").cast("long").alias("y"))
-    )
+    weekly = _weekly_qty(spark, sf_dir)
     w = Window.partitionBy("suppkey").orderBy("yr", "wk")
     lagged = weekly.select(
         "suppkey",

@@ -397,10 +397,12 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpadded on output — keeping the profile to ONE scan.
     """
     o = _t(spark, sf_dir, "orders")
-    # lexicographic == numeric for the two bigint keys only when
-    # zero-padded to fixed width; decimal(12,2)/date/priority strings
-    # already order correctly. Pad for ordering, strip for display.
-    pads = {"o_orderkey": 12, "o_custkey": 12, "o_totalprice": 13}
+    # lexicographic == numeric for the numeric columns only when
+    # zero-padded to a fixed width (wide enough for any value in them);
+    # date/priority strings already order correctly. Pad for ordering,
+    # strip for display.
+    pads = frozenset({"o_orderkey", "o_custkey", "o_totalprice"})
+    pad_width = 14
     stack_args = []
     for name, _ in _PROFILE_COLS:
         if name == "o_totalprice":
@@ -414,7 +416,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS (col_name, val)"
     )
     pad_expr = F.when(
-        F.col("col_name").isin(*pads), F.lpad("val", 14, "0")
+        F.col("col_name").isin(*pads), F.lpad("val", pad_width, "0")
     ).otherwise(F.col("val"))
     prof = (
         unpivot.withColumn("ord", pad_expr)

@@ -179,10 +179,12 @@ def _ivf_replay_centroids(sf_dir: str):
     """Replay operators/similarity.ivf_train in numpy over the oracle
     parquet: same md5-prefix sample rule, same lowest-id unit-vector
     seeds, same Lloyd round (stable argsort assignment on normalized
-    vectors, raw-vector means via sequential np.add.at — the identical
-    accumulation the mapInPandas partialer uses — then renormalize).
-    Deterministic, so the converged centroids can be emitted as SQL
-    literals the same way ann_lsh_candidates emits its hyperplanes."""
+    vectors, raw-vector means via sequential np.add.at in ascending
+    vec_id order — the identical accumulation the mapInPandas partialer
+    sees after ivf_train's id-sorted single partition — then
+    renormalize). Deterministic, so the converged centroids can be
+    emitted as SQL literals the same way ann_lsh_candidates emits its
+    hyperplanes."""
     import hashlib
 
     import duckdb
@@ -190,10 +192,11 @@ def _ivf_replay_centroids(sf_dir: str):
 
     con = duckdb.connect()
     try:
-        # file order, NOT sorted — matches the Spark scan order the
-        # training batches see
+        # ascending vec_id — ivf_train sortWithinPartitions(id_col) pins
+        # the engine's Arrow-batch order to exactly this
         rows = con.execute(
-            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            "ORDER BY vec_id"
         ).fetchall()
     finally:
         con.close()
@@ -239,20 +242,26 @@ def _ivf_sql() -> str | None:
     driver and tests/test_oracle_parity.py compare at. Returns None
     (rows-only fallback) if the oracle dataset is unavailable at import.
 
-    Float-order contract with the engine: ivf_train coalesces its
-    (bounded) sample to one partition, and _IVF_MAX_TRAIN (2048) is
-    under Arrow's 10k records-per-batch default, so the engine's
-    accumulation is one sequential np.add.at pass in file order — the
-    exact order the replay uses. Raising _IVF_MAX_TRAIN past the Arrow
-    batch size would reintroduce per-batch partials and break the
-    bitwise replay.
+    Float-order contract with the engine: ivf_train shuffles its
+    (bounded) sample to one partition SORTED BY ID, and _IVF_MAX_TRAIN
+    (2048) is under Arrow's 10k records-per-batch default, so the
+    engine's accumulation is one sequential np.add.at pass in ascending
+    vec_id order — the exact order the replay uses. Raising
+    _IVF_MAX_TRAIN past the Arrow batch size would reintroduce
+    per-batch partials and break the bitwise replay.
     """
     import os
+
+    import duckdb
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
     try:
         cents = _ivf_replay_centroids(sf_dir)
-    except Exception:
+    except (OSError, ValueError, duckdb.Error):
+        # unavailable/undersized oracle dataset: rows-only fallback.
+        # Anything else (replay regression, dtype break) must raise at
+        # import — a silent downgrade to rows-only would erase the
+        # hash-check coverage invisibly.
         return None
     values = ", ".join(
         f"({li}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"

@@ -55,20 +55,34 @@ def raw_events_schema(spark: SparkSession, path: str) -> StructType:
 
     conf = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(conf, None)
-    spark.conf.set(conf, "true")
-    try:
-        schema = spark.read.parquet(path).schema
-    except AnalysisException:
-        # empty dir / missing path: no footers to infer from. ONLY this —
-        # transient IO/corruption errors must surface here, not resurface
-        # later as a wrong-schema stream failure far from the root cause.
-        schema = EVENTS_RAW_SCHEMA
-    if not isinstance(schema["ts"].dataType, LongType):
-        # native-micros generation: scans don't need the legacy conf
+
+    def _restore() -> None:
         if prev is None:
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prev)
+
+    spark.conf.set(conf, "true")
+    try:
+        try:
+            schema = spark.read.parquet(path).schema
+        except AnalysisException:
+            # empty dir / missing path: no footers to infer from. ONLY
+            # this — transient IO/corruption errors must surface here,
+            # not resurface later as a wrong-schema stream failure far
+            # from the root cause (restored + re-raised below).
+            schema = EVENTS_RAW_SCHEMA
+        if "ts" not in schema.fieldNames():
+            raise ValueError(
+                f"{path} parquet schema has no 'ts' field — not an events "
+                f"directory (found: {schema.fieldNames()})"
+            )
+    except BaseException:
+        _restore()
+        raise
+    if not isinstance(schema["ts"].dataType, LongType):
+        # native-micros generation: scans don't need the legacy conf
+        _restore()
     return schema
 
 

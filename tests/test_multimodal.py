@@ -112,11 +112,22 @@ def test_pcm_energy_windows_honors_id_col(spark):
 def test_resize_images_fake_path(spark, blob_dir):
     """Resize plumbing: dims fit the box, content matches the exact
     stride-subsample the fake resizer defines, digests agree with a
-    local recompute."""
+    local recompute. Pins the deterministic codec explicitly (like the
+    registered image_resize query): the fixtures aren't real images and
+    the assertions are fake-path digests, so auto-resolving to PIL on a
+    machine that has it would fail for environment reasons."""
     import hashlib
 
     df = mm.read_binary_dir(spark, blob_dir)
-    out = {r.path.split("/")[-1]: r for r in mm.resize_images(df, max_side=64).collect()}
+    out = {
+        r.path.split("/")[-1]: r
+        for r in mm.resize_images(
+            df,
+            max_side=64,
+            decoder=mm.deterministic_decode,
+            resizer=mm.deterministic_resize,
+        ).collect()
+    }
     raw = {"a.png": PNG, "b.jpg": JPG, "c.wav": WAV}
     for name, r in out.items():
         data = raw[name]
