@@ -1047,30 +1047,42 @@ def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: levenshtein is O(len²) per pair, so it belongs exactly
     here — AFTER banding/blocking has cut candidates to a sliver (44
-    pairs at sf0.01 vs 125k doc pairs). The two text lookups are
-    shuffle-joins keyed on doc_id against the pair list; everything
-    stays JVM-side (``F.levenshtein`` is codegen'd). At 100 TB you'd
-    additionally cap compared length (``F.levenshtein(l, r,
-    threshold)``) to bound the quadratic term; unbounded here to match
-    the oracle exactly.
+    pairs at sf0.01 vs 125k doc pairs). Text lookup is ONE corpus scan:
+    the pair list explodes to (pair, side, doc_id) rows and BROADCASTs
+    against documents (joining the corpus twice — once per side — would
+    scan 100 TB twice), then the ≤ 2·|pairs| matched texts regroup by
+    pair; only that sliver ever shuffles. Everything stays JVM-side
+    (``F.levenshtein`` is codegen'd). At 100 TB you'd additionally cap
+    compared length (``F.levenshtein(l, r, threshold)``) to bound the
+    quadratic term — unbounded here to match the oracle exactly — and
+    switch the broadcast to a shuffle join if the surviving pair list
+    outgrew the broadcast threshold.
     """
     pairs = doc_ngram_jaccard(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
-    a = d.select(F.col("doc_id").alias("id_1"), F.col("text").alias("__ta"))
-    b = d.select(F.col("doc_id").alias("id_2"), F.col("text").alias("__tb"))
+    sides = pairs.select(
+        "id_1",
+        "id_2",
+        "jaccard",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_1").alias("doc_id"), F.lit(1).alias("side")),
+                F.struct(F.col("id_2").alias("doc_id"), F.lit(2).alias("side")),
+            )
+        ).alias("__s"),
+    ).select("id_1", "id_2", "jaccard", "__s.doc_id", "__s.side")
+    matched = d.select("doc_id", "text").join(F.broadcast(sides), "doc_id")
+    texts = matched.groupBy("id_1", "id_2", "jaccard").agg(
+        F.max(F.when(F.col("side") == 1, F.col("text"))).alias("__ta"),
+        F.max(F.when(F.col("side") == 2, F.col("text"))).alias("__tb"),
+    )
     lev = F.levenshtein("__ta", "__tb")
-    return (
-        pairs.join(a, "id_1")
-        .join(b, "id_2")
-        .select(
-            "id_1",
-            "id_2",
-            "jaccard",
-            lev.cast("long").alias("lev"),
-            F.round(
-                lev / F.greatest(F.length("__ta"), F.length("__tb")), 4
-            ).alias("nld"),
-        )
+    return texts.select(
+        "id_1",
+        "id_2",
+        "jaccard",
+        lev.cast("long").alias("lev"),
+        F.round(lev / F.greatest(F.length("__ta"), F.length("__tb")), 4).alias("nld"),
     )
 
 

@@ -306,3 +306,22 @@ def test_stream_dedup_keys_tolerates_timestamp_jitter(spark, tmp_path):
     # batch fallback: plain key dedup
     batch = ev.normalize_ts(spark.read.schema(ev.raw_events_schema(spark, d)).parquet(d))
     assert ev.dedup_keys_within_watermark(batch, keys=("event_id",)).count() == 2
+
+
+def test_raw_events_schema_rejects_non_events_dir(spark, tmp_path):
+    """A parquet dir without a ts field must fail with a clear error —
+    and must restore the nanosAsLong probe conf on the way out."""
+    import pytest
+
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    d = str(tmp_path / "not_events")
+    spark.range(3).write.parquet(d)
+    prev = spark.conf.get(conf, None)
+    try:
+        spark.conf.unset(conf)
+        with pytest.raises(ValueError, match="no 'ts' field"):
+            ev.raw_events_schema(spark, d)
+        assert spark.conf.get(conf, None) is None, "probe conf leaked on error"
+    finally:
+        if prev is not None:
+            spark.conf.set(conf, prev)
