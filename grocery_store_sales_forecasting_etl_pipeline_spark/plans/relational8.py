@@ -529,3 +529,90 @@ def nation_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         F.round(num / (nd * (nd - F.lit(1.0))), 4).alias("covar_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (type-2 merge of a changed snapshot)
+# ---------------------------------------------------------------------------
+
+# deterministic second snapshot derived from customer: every 10th key
+# changes segment (string reverse), every 97th key is deleted, every
+# 101st key reappears as a brand-new key (+10M) — exercising all four
+# SCD2 branches with no synthetic data.
+_SCD2_ORACLE = """
+WITH cust AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer),
+v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN reverse(c_mktsegment)
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_nationkey
+  FROM cust WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_mktsegment, c_nationkey
+  FROM cust WHERE c_custkey % 101 = 0
+),
+j AS (
+  SELECT coalesce(a.c_custkey, b.c_custkey) AS k,
+         a.c_custkey AS ck1, b.c_custkey AS ck2,
+         a.c_mktsegment AS seg1, a.c_nationkey AS nat1,
+         b.c_mktsegment AS seg2, b.c_nationkey AS nat2
+  FROM cust a FULL JOIN v2 b ON a.c_custkey = b.c_custkey
+)
+SELECT k AS c_custkey, seg1 AS c_mktsegment, nat1 AS c_nationkey,
+       CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM j WHERE ck1 IS NOT NULL AND ck2 IS NOT NULL
+        AND seg1 = seg2 AND nat1 = nat2
+UNION ALL
+SELECT k, seg1, nat1, CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+FROM j WHERE ck1 IS NOT NULL AND ck2 IS NOT NULL
+        AND (seg1 <> seg2 OR nat1 <> nat2)
+UNION ALL
+SELECT k, seg2, nat2, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+FROM j WHERE ck1 IS NOT NULL AND ck2 IS NOT NULL
+        AND (seg1 <> seg2 OR nat1 <> nat2)
+UNION ALL
+SELECT k, seg1, nat1, CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+FROM j WHERE ck1 IS NOT NULL AND ck2 IS NULL
+UNION ALL
+SELECT k, seg2, nat2, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+FROM j WHERE ck1 IS NULL
+"""
+
+
+@register("scd2_customer_history", oracle=_SCD2_ORACLE, tags=("pipeline",))
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge
+    (sources/maintenance.scd2_merge) of a deterministically-derived
+    second customer snapshot into the v1 history: changed keys close
+    their open row and start a new one, deleted keys close, new keys
+    open — the point-in-time dimension history the reference's
+    latest-only upsert pipeline (merge_upsert) cannot answer.
+
+    Scale notes: one full-outer equi-join on the natural key + a
+    conditional array-explode emitting 1-2 rows per key — the
+    branch-per-case union formulation the oracle uses would re-execute
+    the join per branch (5 scans there, 1 here).
+    """
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources.maintenance import (
+        scd2_merge,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    v1 = cust.withColumn("valid_from", F.lit(1).cast("long")).withColumn(
+        "valid_to", F.lit(None).cast("long")
+    )
+    v2 = cust.withColumn(
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.reverse("c_mktsegment")
+        ).otherwise(F.col("c_mktsegment")),
+    ).filter(F.col("c_custkey") % 97 != 0)
+    adds = cust.filter(F.col("c_custkey") % 101 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 10_000_000
+    )
+    hist = scd2_merge(v1, v2.unionByName(adds), keys=["c_custkey"], version=2)
+    return hist.select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "valid_from", "valid_to"
+    )

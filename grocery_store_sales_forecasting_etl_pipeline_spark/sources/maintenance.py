@@ -222,3 +222,88 @@ def compact_table(
     _write(df, f"{table}__compacted")
     _write(spark.table(f"{table}__compacted"), table)
     spark.sql(f"DROP TABLE {table}__compacted")
+
+
+def scd2_merge(
+    current: DataFrame,
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    version: int,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: fold a new full snapshot
+    of a dimension into an SCD2 history table (attribute columns +
+    ``valid_from``/``valid_to`` version stamps, ``valid_to IS NULL`` =
+    open row). Per natural key:
+
+    - attributes unchanged → the open row passes through untouched
+    - attributes changed → the open row closes (``valid_to = version``)
+      and a new open row starts (``valid_from = version``)
+    - key absent from the snapshot → the open row closes (deletion)
+    - key new in the snapshot → a new open row starts
+    - already-closed rows are immutable history and pass through
+
+    All snapshot attribute columns are tracked (null-safe comparison).
+    The upsert pipeline (``merge_upsert``) keeps latest-only; this is
+    the history-preserving variant a warehouse needs for
+    point-in-time joins ("what segment was this customer in when the
+    order shipped?").
+
+    Scale notes: ONE equi-join of the open rows against the snapshot on
+    the natural key, then a conditional array-explode emits 1-2 rows
+    per key — branching via a union of filters would re-execute the
+    join once per branch (4 scans). Closed history is unioned back
+    without being read beyond its scan; at 100 TB, partition the
+    history table by ``valid_to IS NULL`` so the merge reads only the
+    open slice.
+    """
+    from functools import reduce
+    from operator import or_
+
+    attrs = [c for c in snapshot.columns if c not in keys]
+    expected = [*keys, *attrs, "valid_from", "valid_to"]
+    if sorted(current.columns) != sorted(expected):
+        raise ValueError(
+            f"current SCD2 columns {sorted(current.columns)} != {sorted(expected)}"
+        )
+    open_rows = current.filter(F.col("valid_to").isNull()).withColumn(
+        "__in_cur", F.lit(1)
+    )
+    closed_rows = current.filter(F.col("valid_to").isNotNull())
+    snap = snapshot.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"__s_{a}") for a in attrs],
+        F.lit(1).alias("__in_new"),
+    )
+    j = open_rows.join(snap, list(keys), "full_outer")
+    in_cur = F.col("__in_cur").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    changed = reduce(
+        or_, [~F.col(a).eqNullSafe(F.col(f"__s_{a}")) for a in attrs]
+    )
+    ver = F.lit(version).cast("long")
+    null_ver = F.lit(None).cast("long")
+    cur_open = F.struct(
+        *[F.col(a).alias(a) for a in attrs],
+        F.col("valid_from").alias("valid_from"),
+        F.col("valid_to").alias("valid_to"),
+    )
+    cur_closed = F.struct(
+        *[F.col(a).alias(a) for a in attrs],
+        F.col("valid_from").alias("valid_from"),
+        ver.alias("valid_to"),
+    )
+    new_open = F.struct(
+        *[F.col(f"__s_{a}").alias(a) for a in attrs],
+        ver.alias("valid_from"),
+        null_ver.alias("valid_to"),
+    )
+    out = (
+        F.when(in_cur & in_new & ~changed, F.array(cur_open))
+        .when(in_cur & in_new & changed, F.array(cur_closed, new_open))
+        .when(in_cur & ~in_new, F.array(cur_closed))
+        .otherwise(F.array(new_open))
+    )
+    merged = j.select(
+        *[F.col(k) for k in keys], F.explode(out).alias("__r")
+    ).select(*keys, "__r.*")
+    return closed_rows.select(*merged.columns).unionByName(merged)

@@ -199,3 +199,54 @@ def test_merge_upsert_preserves_partitioning(spark, partitioned_table):
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     assert glob.glob(f"{warehouse}/mxdb2.db/t/month=2024-03"), "partition dirs gone"
+
+
+def test_scd2_merge_branches_and_idempotence(spark):
+    """All four SCD2 branches over a tiny dimension, plus: re-merging
+    the SAME snapshot is a no-op, and a third version extends history
+    without touching closed rows."""
+    import pyspark.sql.functions as F
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources.maintenance import scd2_merge
+
+    v1 = spark.createDataFrame(
+        [(1, "A", 1, None), (2, "B", 1, None), (3, "C", 1, None)],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    snap2 = spark.createDataFrame(
+        [(1, "A"), (2, "B2"), (4, "D")], "k long, attr string"
+    )  # 1 unchanged, 2 changed, 3 deleted, 4 added
+    h2 = scd2_merge(v1, snap2, keys=["k"], version=2)
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to) for r in h2.collect()}
+    assert rows == {
+        (1, "A", 1, None),
+        (2, "B", 1, 2),
+        (2, "B2", 2, None),
+        (3, "C", 1, 2),
+        (4, "D", 2, None),
+    }
+    # open-row uniqueness per live key
+    open_counts = (
+        h2.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_counts)
+    # idempotence: same snapshot again changes nothing
+    h2b = scd2_merge(h2, snap2, keys=["k"], version=3)
+    assert {(r.k, r.attr, r.valid_from, r.valid_to) for r in h2b.collect()} == rows
+    # v3: key 4 changes; closed history from v2 untouched
+    snap3 = spark.createDataFrame([(1, "A"), (2, "B2"), (4, "D3")], "k long, attr string")
+    h3 = scd2_merge(h2, snap3, keys=["k"], version=3)
+    rows3 = {(r.k, r.attr, r.valid_from, r.valid_to) for r in h3.collect()}
+    assert (4, "D", 2, 3) in rows3 and (4, "D3", 3, None) in rows3
+    assert (2, "B", 1, 2) in rows3  # closed history immutable
+
+
+def test_scd2_merge_rejects_wrong_columns(spark):
+    import pytest
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources.maintenance import scd2_merge
+
+    cur = spark.createDataFrame([(1, "A")], "k long, attr string")  # no stamps
+    snap = spark.createDataFrame([(1, "A")], "k long, attr string")
+    with pytest.raises(ValueError, match="SCD2 columns"):
+        scd2_merge(cur, snap, keys=["k"], version=2)
