@@ -616,3 +616,76 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "c_custkey", "c_mktsegment", "c_nationkey", "valid_from", "valid_to"
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against the SCD2 history
+# ---------------------------------------------------------------------------
+
+# as-of version per order: first half of the order-date range reads the
+# dimension AT version 1, second half at version 2 — deterministic and
+# derivable in both engines (split at the calendar midpoint 1995-06-01).
+_PIT_SPLIT_DATE = "1995-06-01"
+
+_PIT_ORACLE = f"""
+WITH hist AS ({_SCD2_ORACLE}
+),
+o AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PIT_SPLIT_DATE}'
+              THEN 1 ELSE 2 END AS as_of_v
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT o.o_orderkey, o.o_custkey, CAST(o.as_of_v AS BIGINT) AS as_of_v,
+       h.c_mktsegment AS segment_at_order
+FROM o JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND h.valid_from <= o.as_of_v
+ AND (h.valid_to IS NULL OR o.as_of_v < h.valid_to)
+"""
+
+
+@register("scd2_pit_join", oracle=_PIT_ORACLE, tags=("pipeline", "join"))
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each (sampled) order reads the customer
+    dimension AS OF its own version (orders before mid-1995 see v1,
+    after see v2), via interval containment against the SCD2 history's
+    ``valid_from``/``valid_to`` stamps — the query pattern SCD2 exists
+    for, and the one a latest-only dimension silently gets wrong
+    (training-data lens: label/feature joins must read dimensions as of
+    the EVENT time or they leak the future).
+
+    Scale notes: equi-join on the natural key carries the work; the
+    interval predicate rides along as a join residual, so this is a
+    plain hash/sort-merge join, not a range join — per key the history
+    has O(versions) rows, so the residual scan is tiny and the plan is
+    the dim-enrich plan with one extra filter. History is
+    dim-sized → broadcast.
+    """
+    hist = scd2_customer_history(spark, sf_dir)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate").cast("date") < F.lit(_PIT_SPLIT_DATE).cast("date"),
+                1,
+            )
+            .otherwise(2)
+            .cast("long")
+            .alias("as_of_v"),
+        )
+    )
+    cond = (
+        (o.o_custkey == hist.c_custkey)
+        & (hist.valid_from <= o.as_of_v)
+        & (hist.valid_to.isNull() | (o.as_of_v < hist.valid_to))
+    )
+    return o.join(F.broadcast(hist), cond).select(
+        "o_orderkey",
+        "o_custkey",
+        "as_of_v",
+        F.col("c_mktsegment").alias("segment_at_order"),
+    )

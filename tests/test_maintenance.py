@@ -250,3 +250,17 @@ def test_scd2_merge_rejects_wrong_columns(spark):
     snap = spark.createDataFrame([(1, "A")], "k long, attr string")
     with pytest.raises(ValueError, match="SCD2 columns"):
         scd2_merge(cur, snap, keys=["k"], version=2)
+
+
+def test_scd2_pit_join_uniqueness(spark, sf_oracle):
+    """Each sampled order resolves to AT MOST one dimension row (exactly
+    one unless its customer was deleted before the order's version)."""
+    import pyspark.sql.functions as F
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational8 import (
+        scd2_pit_join,
+    )
+
+    out = scd2_pit_join(spark, sf_oracle)
+    dup = out.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    assert dup == 0, "an order matched two history rows for one as-of version"
