@@ -362,3 +362,88 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("double_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar functions (§2.8 surface: and/or/xor/shifts/bit_count)
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT)               AS and_mask,
+       CAST(o_orderkey | 4096 AS BIGINT)              AS or_flag,
+       CAST(xor(o_orderkey, o_custkey) AS BIGINT)     AS xor_keys,
+       CAST(o_orderkey << 3 AS BIGINT)                AS shl3,
+       CAST(o_orderkey >> 2 AS BIGINT)                AS shr2,
+       CAST(bit_count(o_orderkey) AS BIGINT)          AS popcount,
+       CAST(~o_orderkey AS BIGINT)                    AS bnot
+FROM orders WHERE o_orderkey % 37 = 0
+"""
+
+
+@register("bitwise_funcs", oracle=_BITWISE_ORACLE, tags=("scalar",))
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (and/or/xor/shifts/popcount/complement)
+    over integer keys — the §2.8 family member used by the engine's own
+    fingerprint code (SimHash bands use bit_count(xor) at
+    operators/dedup.py) exposed as a contract query in its own right.
+
+    Scale notes: map-only codegen'd integer ops fused with the pruned,
+    filter-pushed scan; zero shuffles.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("and_mask"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("or_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("long").alias("xor_keys"),
+        F.shiftleft(k, 3).cast("long").alias("shl3"),
+        F.shiftright(k, 2).cast("long").alias("shr2"),
+        F.bit_count(k).cast("long").alias("popcount"),
+        F.bitwise_not(k).cast("long").alias("bnot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regexp scalar functions (extract / extract_all / count / replace)
+# ---------------------------------------------------------------------------
+
+_REGEXP_ORACLE = r"""
+SELECT o_orderkey,
+       o_orderpriority,
+       regexp_extract(o_orderpriority, '(\d+)', 1)              AS prio_num,
+       regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g')     AS devoweled,
+       CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]')) AS BIGINT)
+                                                                AS n_upper,
+       CASE WHEN regexp_matches(o_orderpriority, '^\d-')
+            THEN 1 ELSE 0 END                                   AS has_rank_prefix
+FROM orders WHERE o_orderkey % 53 = 0
+"""
+
+
+@register("regexp_funcs", oracle=_REGEXP_ORACLE, tags=("scalar",))
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface (extract group, global replace, per-char
+    match count, anchor match) over the priority label — §2.8
+    coverage for the pattern family PII redaction and text gates build
+    on. Patterns are deliberately engine-portable (digit classes and
+    literal anchors — identical under Java regex and RE2).
+
+    Scale notes: map-only codegen'd regex ops on the pruned scan; zero
+    shuffles. Count-of-matches is expressed as length of extract_all
+    rather than regexp_count to pin identical empty-match semantics in
+    both engines.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 53 == 0)
+    c = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.regexp_extract(c, r"(\d+)", 1).alias("prio_num"),
+        F.regexp_replace(c, "[AEIOU]", "_").alias("devoweled"),
+        F.size(F.expr(r"regexp_extract_all(o_orderpriority, '[A-Z]', 0)"))
+        .cast("long")
+        .alias("n_upper"),
+        F.when(c.rlike(r"^\d-"), 1).otherwise(0).alias("has_rank_prefix"),
+    )
