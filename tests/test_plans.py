@@ -136,3 +136,39 @@ def test_backtest_two_exchanges_agg_fused_with_window(spark, sf_oracle):
     the window's suppkey partitioning, not add a third shuffle."""
     plan = _simple(spark, "forecast_backtest_eval", sf_oracle)
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_oracle):
+    """The 100 TB shuffle-pruning lever: a selective filter on one side
+    of a fact-fact SMJ must inject a runtime Bloom filter
+    (might_contain) on the probe side, cutting the big fact's shuffle
+    volume before the exchange. Spark gates this on a 10 GB
+    application-side scan (never reached at test scale), so the test
+    lowers the thresholds to assert the engine session leaves the
+    feature ON and the plan shape qualifies — at production scale the
+    default gates pass and the same plan injects the filter."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        o = spark.read.parquet(f"{sf_oracle}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime Bloom filter not injected"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
