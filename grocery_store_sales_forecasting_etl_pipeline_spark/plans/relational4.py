@@ -442,7 +442,7 @@ def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.regexp_extract(c, r"(\d+)", 1).alias("prio_num"),
         F.regexp_replace(c, "[AEIOU]", "_").alias("devoweled"),
-        F.size(F.expr(r"regexp_extract_all(o_orderpriority, '[A-Z]', 0)"))
+        F.size(F.regexp_extract_all(c, F.lit("[A-Z]"), F.lit(0)))
         .cast("long")
         .alias("n_upper"),
         F.when(c.rlike(r"^\d-"), 1).otherwise(0).alias("has_rank_prefix"),

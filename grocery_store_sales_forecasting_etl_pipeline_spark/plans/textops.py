@@ -1075,7 +1075,10 @@ def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts = matched.groupBy("id_1", "id_2", "jaccard").agg(
         F.max(F.when(F.col("side") == 1, F.col("text"))).alias("__ta"),
         F.max(F.when(F.col("side") == 2, F.col("text"))).alias("__tb"),
-    )
+    ).filter(F.col("__ta").isNotNull() & F.col("__tb").isNotNull())
+    # ^ both sides must have resolved text: a pair referencing a doc_id
+    # absent from the corpus drops entirely (the oracle's double inner
+    # join semantics), instead of surfacing NULL lev/nld
     lev = F.levenshtein("__ta", "__tb")
     return texts.select(
         "id_1",

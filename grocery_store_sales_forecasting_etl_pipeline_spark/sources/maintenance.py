@@ -260,6 +260,11 @@ def scd2_merge(
     from operator import or_
 
     attrs = [c for c in snapshot.columns if c not in keys]
+    if not attrs:
+        raise ValueError(
+            "snapshot has no attribute columns beyond the keys — nothing "
+            "to track; SCD2 needs at least one tracked attribute"
+        )
     expected = [*keys, *attrs, "valid_from", "valid_to"]
     if sorted(current.columns) != sorted(expected):
         raise ValueError(
