@@ -336,3 +336,70 @@ def forecast_backtest_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("naive")
         .alias("better_model"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing (EWMA level, exact dyadic fold)
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 EXACTLY: halving is a binary-exponent shift, so every fold
+# step performs the identical IEEE ops in any engine, and the only
+# rounding is the (deterministic, order-pinned) addition
+_EWMA_MIN_WEEKS = 8
+
+_EWMA_ORACLE = f"""
+{_WEEKLY_QTY_CTE}
+s AS (
+  SELECT suppkey,
+         count(*) AS n_weeks,
+         list_reduce(list(CAST(y AS DOUBLE) ORDER BY yr, wk),
+                     (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+  FROM weekly GROUP BY suppkey
+)
+SELECT suppkey,
+       CAST(n_weeks AS BIGINT) AS n_weeks,
+       round(ewma, 6)          AS ewma_level
+FROM s WHERE n_weeks >= {_EWMA_MIN_WEEKS}
+"""
+
+
+@register("forecast_ewma", oracle=_EWMA_ORACLE, tags=("ml",))
+def forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing per supplier (EWMA level with alpha = 0.5,
+    s_1 = x_1, s_t = x_t/2 + s_{t-1}/2) over the weekly quantity
+    series — the classic one-number forecast (next week = current
+    level) completing the family: naive/seasonal-naive (backtest), OLS
+    trend, EWMA, GBT.
+
+    Engine-parity design: EWMA is a SEQUENTIAL recurrence, the one
+    shape distributed sums can't reorder — so each supplier's series is
+    assembled into an ordered array (sort_array over the collected
+    (yr, wk, y) structs) and folded left with ``F.aggregate``, exactly
+    mirroring the oracle's ``list_reduce`` over ``list(... ORDER BY)``.
+    alpha = 0.5 makes each multiply a pure exponent shift; the fold's
+    additions are the only rounding and both engines perform them in
+    the identical pinned order.
+
+    Scale notes: one shuffle to group each supplier's series; the array
+    per group is |weeks| (hundreds), the standard escape hatch for
+    per-entity sequential recurrences — memory per group is bounded by
+    series length, never corpus size, and suppliers parallelize freely.
+    """
+    weekly = _weekly_qty(spark, sf_dir)
+    s = weekly.groupBy("suppkey").agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("yr", "wk", "y"))),
+            lambda r: r["y"].cast("double"),
+        ).alias("ys"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("ys"), 2, F.size("ys") - 1),
+        F.element_at("ys", 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return s.filter(F.col("n_weeks") >= _EWMA_MIN_WEEKS).select(
+        "suppkey",
+        "n_weeks",
+        F.round(ewma, 6).alias("ewma_level"),
+    )
