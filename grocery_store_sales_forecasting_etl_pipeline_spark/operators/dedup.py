@@ -304,8 +304,13 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     by JVM ``transform``) → groupBy(id) summing per-bit signs via
     conditional aggregation → reassemble the integer. One shuffle.
     """
+    # Guarded widen (same rationale as _shingle_rows): only repartition when
+    # the input is under-split; an already-wide 100 TB corpus must not pay a
+    # full shuffle of raw text before tokenizing.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    tok = df.repartition(parallelism).select(
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(T.tokens(text_col))).alias("tok")
     )
     # nibble n of md5 hex → 4 bits; bit index b in 0..31

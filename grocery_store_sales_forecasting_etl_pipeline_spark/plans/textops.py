@@ -1037,6 +1037,85 @@ JOIN documents b ON p.id_2 = b.doc_id
 """
 
 
+def edit_distance_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_pairs: int | None = 1_000_000,
+    lev_threshold: int | None = None,
+) -> DataFrame:
+    """Score candidate pairs ``(id_1, id_2, jaccard)`` with levenshtein +
+    length-normalized edit distance against a document corpus, in ONE
+    corpus scan.
+
+    The pair list explodes to (pair, side, doc_id) rows and joins against
+    the corpus; joining the corpus twice — once per side — would scan
+    100 TB twice. The join strategy is size-gated: when the surviving
+    pair list fits (``<= broadcast_max_pairs`` rows) it BROADCASTs, so
+    the corpus never shuffles; above the gate (or with
+    ``broadcast_max_pairs=None``) it falls back to a shuffle hash join —
+    slower but safe, instead of OOMing the driver on an oversized
+    broadcast. The gate counts the (cached) pair sliver, which the main
+    query then reuses.
+
+    ``lev_threshold`` caps the O(len²) levenshtein term per pair
+    (Spark's 3-arg ``levenshtein(l, r, t)``): distances above the cap
+    come back as -1 (and nld as NULL is avoided by propagating -1).
+    Unbounded (None) matches a plain-SQL oracle exactly; at 100 TB you
+    set the cap to your dedup decision threshold.
+    """
+    sides = pairs.select(
+        "id_1",
+        "id_2",
+        "jaccard",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_1").alias(id_col), F.lit(1).alias("side")),
+                F.struct(F.col("id_2").alias(id_col), F.lit(2).alias("side")),
+            )
+        ).alias("__s"),
+    ).select("id_1", "id_2", "jaccard", f"__s.{id_col}", "__s.side")
+    if broadcast_max_pairs is not None:
+        pairs_cached = pairs.persist()
+        try:
+            over = pairs_cached.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+        except Exception:
+            over = True
+        sides = sides if over else F.broadcast(sides)
+    matched = docs.select(F.col(id_col), F.col(text_col).alias("__text")).join(
+        sides, id_col
+    )
+    texts = matched.groupBy("id_1", "id_2", "jaccard").agg(
+        F.max(F.when(F.col("side") == 1, F.col("__text"))).alias("__ta"),
+        F.max(F.when(F.col("side") == 2, F.col("__text"))).alias("__tb"),
+        F.max(F.when(F.col("side") == 1, F.lit(1))).alias("__pa"),
+        F.max(F.when(F.col("side") == 2, F.lit(1))).alias("__pb"),
+    ).filter(F.col("__pa").isNotNull() & F.col("__pb").isNotNull())
+    # ^ presence (the side row matched a corpus doc_id) is tracked apart
+    # from the text value: a pair referencing a doc_id ABSENT from the
+    # corpus drops entirely (the oracle's double inner join semantics),
+    # while a matched doc whose text is NULL keeps the pair and lets
+    # NULL propagate into lev/nld exactly like the oracle's inner join
+    if lev_threshold is None:
+        lev = F.levenshtein("__ta", "__tb")
+        nld = F.round(lev / F.greatest(F.length("__ta"), F.length("__tb")), 4)
+    else:
+        lev = F.levenshtein("__ta", "__tb", lev_threshold)
+        # lev = -1 means "over the cap" → nld -1; NULL text stays NULL
+        nld = F.when(lev < 0, F.lit(-1.0)).otherwise(
+            F.round(lev / F.greatest(F.length("__ta"), F.length("__tb")), 4)
+        )
+    return texts.select(
+        "id_1",
+        "id_2",
+        "jaccard",
+        lev.cast("long").alias("lev"),
+        nld.alias("nld"),
+    )
+
+
 @register("near_dup_verify", oracle=_NDV_ORACLE, tags=("text", "dedup"))
 def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification stage for near-dup candidate pairs:
@@ -1047,46 +1126,16 @@ def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: levenshtein is O(len²) per pair, so it belongs exactly
     here — AFTER banding/blocking has cut candidates to a sliver (44
-    pairs at sf0.01 vs 125k doc pairs). Text lookup is ONE corpus scan:
-    the pair list explodes to (pair, side, doc_id) rows and BROADCASTs
-    against documents (joining the corpus twice — once per side — would
-    scan 100 TB twice), then the ≤ 2·|pairs| matched texts regroup by
-    pair; only that sliver ever shuffles. Everything stays JVM-side
-    (``F.levenshtein`` is codegen'd). At 100 TB you'd additionally cap
-    compared length (``F.levenshtein(l, r, threshold)``) to bound the
-    quadratic term — unbounded here to match the oracle exactly — and
-    switch the broadcast to a shuffle join if the surviving pair list
-    outgrew the broadcast threshold.
+    pairs at sf0.01 vs 125k doc pairs). The heavy lifting lives in
+    :func:`edit_distance_verify`: ONE corpus scan, size-gated pair-side
+    broadcast (auto-falls back to a shuffle join past 1M pairs), all
+    JVM-side codegen'd levenshtein. Unbounded edit distance here to
+    match the oracle exactly; the capped ``lev_threshold`` variant is
+    pytest-pinned equivalent below the cap.
     """
     pairs = doc_ngram_jaccard(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
-    sides = pairs.select(
-        "id_1",
-        "id_2",
-        "jaccard",
-        F.explode(
-            F.array(
-                F.struct(F.col("id_1").alias("doc_id"), F.lit(1).alias("side")),
-                F.struct(F.col("id_2").alias("doc_id"), F.lit(2).alias("side")),
-            )
-        ).alias("__s"),
-    ).select("id_1", "id_2", "jaccard", "__s.doc_id", "__s.side")
-    matched = d.select("doc_id", "text").join(F.broadcast(sides), "doc_id")
-    texts = matched.groupBy("id_1", "id_2", "jaccard").agg(
-        F.max(F.when(F.col("side") == 1, F.col("text"))).alias("__ta"),
-        F.max(F.when(F.col("side") == 2, F.col("text"))).alias("__tb"),
-    ).filter(F.col("__ta").isNotNull() & F.col("__tb").isNotNull())
-    # ^ both sides must have resolved text: a pair referencing a doc_id
-    # absent from the corpus drops entirely (the oracle's double inner
-    # join semantics), instead of surfacing NULL lev/nld
-    lev = F.levenshtein("__ta", "__tb")
-    return texts.select(
-        "id_1",
-        "id_2",
-        "jaccard",
-        lev.cast("long").alias("lev"),
-        F.round(lev / F.greatest(F.length("__ta"), F.length("__tb")), 4).alias("nld"),
-    )
+    return edit_distance_verify(pairs, d)
 
 
 # ---------------------------------------------------------------------------

@@ -137,3 +137,66 @@ def test_winnow_containment_fuzz(spark):
         assert a & b, f"pair {p} shares a {t}+-token run but no fingerprint"
     # control: docs from different pairs share no tokens → no fingerprints
     assert not (fps[0] & fps[3])
+
+
+def test_edit_distance_verify_capped_and_fallback(spark, sf_oracle):
+    """The capped lev_threshold variant agrees with the unbounded one
+    below the cap (and returns -1/-1 above it); the size-gated shuffle
+    fallback (broadcast_max_pairs=0 forces it) produces identical rows
+    to the broadcast path."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.textops import (
+        doc_ngram_jaccard,
+        edit_distance_verify,
+    )
+
+    pairs = doc_ngram_jaccard(spark, sf_oracle)
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    base = {
+        (r["id_1"], r["id_2"]): (r["lev"], r["nld"])
+        for r in edit_distance_verify(pairs, docs).collect()
+    }
+    assert base
+
+    cap = 50
+    capped = {
+        (r["id_1"], r["id_2"]): (r["lev"], r["nld"])
+        for r in edit_distance_verify(pairs, docs, lev_threshold=cap).collect()
+    }
+    assert set(capped) == set(base)
+    for k, (lev, nld) in base.items():
+        if lev <= cap:
+            assert capped[k] == (lev, nld)
+        else:
+            assert capped[k] == (-1, -1.0)
+
+    # force the shuffle-join fallback: every pair count exceeds the gate
+    shuffled = {
+        (r["id_1"], r["id_2"]): (r["lev"], r["nld"])
+        for r in edit_distance_verify(pairs, docs, broadcast_max_pairs=0).collect()
+    }
+    assert shuffled == base
+
+
+def test_edit_distance_verify_null_text_parity(spark):
+    """Oracle parity on nullable text: a pair whose doc EXISTS but has
+    NULL text survives with NULL lev/nld (inner-join semantics); a pair
+    referencing an ABSENT doc_id drops entirely."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.textops import (
+        edit_distance_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (1, 3, 0.7), (1, 99, 0.9)],
+        "id_1 long, id_2 long, jaccard double",
+    )
+    rows = {
+        (r["id_1"], r["id_2"]): (r["lev"], r["nld"])
+        for r in edit_distance_verify(pairs, docs).collect()
+    }
+    assert set(rows) == {(1, 2), (1, 3)}          # (1,99) dropped: doc absent
+    assert rows[(1, 2)] == (None, None)            # NULL text propagates
+    assert rows[(1, 3)] == (6, 0.375)              # " gamma" appended = 6 edits
