@@ -239,6 +239,17 @@ def resize_images(
     """
     import pandas as pd
 
+    # decoder and resizer must agree on what the bytes ARE (a fake
+    # decoder's dims fed to PIL's resizer crashes on non-image bytes, and
+    # vice versa silently mixes codecs) — require both-or-neither so the
+    # pair always resolves atomically from the same source
+    if (decoder is None) != (resizer is None):
+        raise ValueError(
+            "resize_images: pass BOTH decoder= and resizer= or NEITHER — "
+            "mixing a custom callable with the auto-resolved counterpart "
+            "pairs incompatible codecs"
+        )
+
     out_schema = StructType(
         list(df.schema.fields)
         + DECODED_SCHEMA_FIELDS
@@ -253,20 +264,18 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dec, rsz = decoder, resizer
-        if dec is None or rsz is None:
+        if dec is None and rsz is None:
             try:
                 import PIL  # noqa: F401
 
-                dec = dec or _real_decode
-                rsz = rsz or _real_resize
+                dec, rsz = _real_decode, _real_resize
             except ImportError:
                 if strict:
                     raise NotImplementedError(
                         "no image codec available: install PIL or pass "
                         "decoder=/resizer="
                     )
-                dec = dec or _fake_decode
-                rsz = rsz or _fake_resize
+                dec, rsz = _fake_decode, _fake_resize
         for pdf in batches:
             rows = []
             for b in pdf[content_col]:

@@ -402,6 +402,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date/priority strings already order correctly. Pad for ordering,
     # strip for display.
     pads = frozenset({"o_orderkey", "o_custkey", "o_totalprice"})
+    # Width contract: every padded value must fit — lpad TRUNCATES wider
+    # input, which would silently corrupt min/max. 14 covers DECIMAL(12,2)
+    # (13 chars incl. the point) and keys < 10^14; the guard below turns
+    # any violation into a loud error instead of a wrong answer.
     pad_width = 14
     stack_args = []
     for name, _ in _PROFILE_COLS:
@@ -416,7 +420,15 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS (col_name, val)"
     )
     pad_expr = F.when(
-        F.col("col_name").isin(*pads), F.lpad("val", pad_width, "0")
+        F.col("col_name").isin(*pads),
+        F.when(F.length("val") <= pad_width, F.lpad("val", pad_width, "0")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"table_profile: value wider than pad_width={pad_width}: "),
+                    F.col("val"),
+                )
+            ).cast("string")
+        ),
     ).otherwise(F.col("val"))
     prof = (
         unpivot.withColumn("ord", pad_expr)

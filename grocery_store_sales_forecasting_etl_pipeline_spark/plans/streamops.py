@@ -177,3 +177,95 @@ def click_purchase_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame
             "gap_seconds"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful Welford outlier scoring (batch contract for streaming/stateful.py)
+# ---------------------------------------------------------------------------
+
+# Cross-engine float parity: both sides derive z from the SAME integer
+# sufficient statistics (value in cents, cumulative n/s/q over PRIOR rows)
+# with the SAME double expression tree, so every intermediate double is
+# bit-identical in Spark and DuckDB — including the var > 0 comparison.
+_WELFORD_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts, value, cents,
+         count(cents) OVER w AS n_prior,
+         CAST(coalesce(sum(cents) OVER w, 0) AS DOUBLE) AS s_prior,
+         CAST(coalesce(sum(cents * cents) OVER w, 0) AS DOUBLE) AS q_prior
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT *,
+         CASE WHEN n_prior >= 2
+                   AND (q_prior - s_prior * s_prior / n_prior) / (n_prior - 1) > 0
+              THEN (CAST(cents AS DOUBLE) - s_prior / n_prior)
+                   / sqrt((q_prior - s_prior * s_prior / n_prior) / (n_prior - 1))
+              ELSE 0.0 END AS zraw
+  FROM s
+)
+SELECT user_id, event_id, ts, value,
+       round(zraw, 4) AS zscore,
+       CAST(CASE WHEN abs(zraw) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM z
+"""
+
+
+@register("stateful_outlier_scores", oracle=_WELFORD_ORACLE, tags=("streaming", "window"))
+def stateful_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch contract for the custom stateful streaming operator
+    (streaming/stateful.py:stateful_outliers): each event's z-score
+    against the sample statistics of all PRIOR same-user events, ordered
+    by (ts, event_id), flagged at |z| > 3 — the applyInPandasWithState
+    Welford path computes the identical quantity incrementally across
+    micro-batches (pytest pins batch==stream equivalence on rounded z).
+
+    Numerics: z derives from integer sufficient statistics — value in
+    cents, cumulative (n, Σc, Σc²) over the prior-rows frame — with the
+    same double expression tree as the oracle, so parity is bit-exact
+    rather than tolerance-based (the repo's exact-stat correlation
+    pattern; Welford and the two-pass formula agree analytically, and
+    the stream test covers the float gap between them).
+
+    Scale notes: ONE shuffle on user_id; the three cumulative aggregates
+    share a single window frame so Spark evaluates them in one Window
+    node pass. In streaming form state is three numbers per key.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.count("cents").over(w)
+    s = F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("double")
+    q = F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)).cast(
+        "double"
+    )
+    var = (q - s * s / n) / (n - 1)
+    zraw = F.when(
+        (n >= 2) & (var > 0),
+        (F.col("cents").cast("double") - s / n) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(zraw, 4).alias("zscore"),
+        F.when(F.abs(zraw) > 3.0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "is_outlier"
+        ),
+    )

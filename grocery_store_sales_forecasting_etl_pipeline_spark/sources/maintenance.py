@@ -229,6 +229,8 @@ def scd2_merge(
     snapshot: DataFrame,
     keys: Sequence[str],
     version: int,
+    *,
+    validate: bool = False,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension merge: fold a new full snapshot
     of a dimension into an SCD2 history table (attribute columns +
@@ -248,6 +250,13 @@ def scd2_merge(
     point-in-time joins ("what segment was this customer in when the
     order shipped?").
 
+    PRECONDITION: the natural key is unique in ``snapshot``, and
+    ``current`` has at most one open row per key — duplicates fan out
+    through the full-outer join and emit conflicting history rows.
+    Pass ``validate=True`` to assert both with two cheap key-only
+    aggregates before the merge (two extra jobs, so off by default;
+    the single-join merge plan itself is unchanged either way).
+
     Scale notes: ONE equi-join of the open rows against the snapshot on
     the natural key, then a conditional array-explode emits 1-2 rows
     per key — branching via a union of filters would re-execute the
@@ -260,6 +269,28 @@ def scd2_merge(
     from operator import or_
 
     attrs = [c for c in snapshot.columns if c not in keys]
+    if validate:
+        dup_snap = (
+            snapshot.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup_snap:
+            raise ValueError(
+                f"scd2_merge: snapshot has duplicate natural keys, e.g. "
+                f"{dup_snap[0].asDict()}"
+            )
+        dup_open = (
+            current.filter(F.col("valid_to").isNull())
+            .groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup_open:
+            raise ValueError(
+                f"scd2_merge: current has multiple OPEN rows for a key, e.g. "
+                f"{dup_open[0].asDict()}"
+            )
     if not attrs:
         raise ValueError(
             "snapshot has no attribute columns beyond the keys — nothing "

@@ -264,3 +264,30 @@ def test_scd2_pit_join_uniqueness(spark, sf_oracle):
     out = scd2_pit_join(spark, sf_oracle)
     dup = out.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
     assert dup == 0, "an order matched two history rows for one as-of version"
+
+
+def test_scd2_merge_validate_rejects_duplicate_keys(spark):
+    """validate=True asserts the natural-key preconditions instead of
+    silently fanning duplicates through the full-outer join."""
+    import pytest
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources.maintenance import scd2_merge
+
+    current = spark.createDataFrame(
+        [(1, "a", 0, None), (1, "b", 0, None)],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    snap = spark.createDataFrame([(1, "a")], "k long, attr string")
+    with pytest.raises(ValueError, match="multiple OPEN rows"):
+        scd2_merge(current, snap, ["k"], 1, validate=True)
+
+    ok_current = spark.createDataFrame(
+        [(1, "a", 0, None)], "k long, attr string, valid_from long, valid_to long"
+    )
+    dup_snap = spark.createDataFrame([(1, "a"), (1, "b")], "k long, attr string")
+    with pytest.raises(ValueError, match="duplicate natural keys"):
+        scd2_merge(ok_current, dup_snap, ["k"], 1, validate=True)
+
+    # clean inputs with validate on: unchanged single-open-row merge
+    out = scd2_merge(ok_current, snap, ["k"], 1, validate=True).collect()
+    assert len(out) == 1 and out[0].valid_to is None

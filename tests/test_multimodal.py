@@ -192,3 +192,15 @@ def test_temperature_mixture_flattens(spark, sf_oracle):
         quota = math.ceil(math.sqrt(n_s)) * 4
         u = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:6], 16)
         assert (u * n_s < quota * 16**6) == (d.doc_id in ids), d.doc_id
+
+
+def test_resize_images_rejects_half_injected_codec(spark, blob_dir):
+    """decoder/resizer must come as a pair — mixing a custom callable
+    with the auto-resolved counterpart pairs incompatible codecs."""
+    import pytest
+
+    df = mm.read_binary_dir(spark, blob_dir)
+    with pytest.raises(ValueError, match="BOTH decoder= and resizer="):
+        mm.resize_images(df, decoder=lambda b: (1, 1, 1))
+    with pytest.raises(ValueError, match="BOTH decoder= and resizer="):
+        mm.resize_images(df, resizer=lambda b, w, h: b)

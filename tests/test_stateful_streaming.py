@@ -81,3 +81,39 @@ def test_score_batch_flags_extremes():
     assert bool(out.iloc[-1].is_outlier)
     assert not out.iloc[:-1].is_outlier.any()
     assert n == 12
+
+
+def test_registered_batch_query_matches_welford_scorer(spark, sf_oracle):
+    """The contract query (plans/streamops.py:stateful_outlier_scores,
+    two-pass sufficient statistics) computes the same z-scores as the
+    streaming operator's incremental Welford kernel — the analytic
+    identity, checked to 1e-6 on every sf0.01 event."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.streamops import (
+        stateful_outlier_scores,
+    )
+
+    got = {
+        r.event_id: (round(r.zscore, 4), r.is_outlier == 1)
+        for r in stateful_outlier_scores(spark, sf_oracle).collect()
+    }
+
+    events = (
+        spark.read.parquet(f"{sf_oracle}/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    # the contract query quantizes to cents before scoring — mirror it
+    events["value"] = (events["value"] * 100).round() / 100
+    want = {}
+    for _, g in events.groupby("user_id"):
+        out, *_ = _score_batch(g, 0, 0.0, 0.0)
+        for _, r in out.iterrows():
+            want[r.event_id] = (r.zscore, bool(r.is_outlier))
+
+    assert len(got) == len(want)
+    bad = {
+        k: (got[k], want[k])
+        for k in want
+        if abs(got[k][0] - round(want[k][0], 4)) > 1e-6 or got[k][1] != want[k][1]
+    }
+    assert not bad, f"{len(bad)} mismatches, e.g. {list(bad.items())[:3]}"
