@@ -403,3 +403,100 @@ def forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_weeks",
         F.round(ewma, 6).alias("ewma_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear trend (double exponential smoothing, exact dyadic fold)
+# ---------------------------------------------------------------------------
+
+# alpha = beta = 0.5: every multiply is a binary-exponent shift, so both
+# engines perform the identical IEEE additions in the identical pinned
+# order (same design as forecast_ewma). Init: l = x2, b = x2 - x1, fold
+# from x3. DuckDB list_reduce has no init argument, so the init state is
+# PREPENDED as the first element of a list-of-[value, ignored] pairs —
+# its first "element" IS the accumulator.
+_HOLT_MIN_WEEKS = 8
+
+_HOLT_ORACLE = f"""
+{_WEEKLY_QTY_CTE}
+s AS (
+  SELECT suppkey,
+         count(*) AS n_weeks,
+         list(CAST(y AS DOUBLE) ORDER BY yr, wk) AS ys
+  FROM weekly GROUP BY suppkey
+),
+f AS (
+  SELECT suppkey, n_weeks,
+         list_reduce(
+           list_prepend(
+             list_value(ys[2], ys[2] - ys[1]),
+             list_transform(ys[3:], x -> list_value(x, 0.0))
+           ),
+           (acc, x) -> list_value(
+             x[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+             (x[1] * 0.5 + (acc[1] + acc[2]) * 0.5 - acc[1]) * 0.5
+               + acc[2] * 0.5
+           )
+         ) AS st
+  FROM s WHERE n_weeks >= {_HOLT_MIN_WEEKS}
+)
+SELECT suppkey,
+       CAST(n_weeks AS BIGINT)   AS n_weeks,
+       round(st[1], 6)           AS holt_level,
+       round(st[2], 6)           AS holt_trend,
+       round(st[1] + st[2], 6)   AS holt_forecast
+FROM f
+"""
+
+
+@register("forecast_holt_linear", oracle=_HOLT_ORACLE, tags=("ml",))
+def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per supplier
+    (alpha = beta = 0.5) over the weekly quantity series: level AND
+    trend states, one-step-ahead forecast = level + trend — the
+    trend-aware sibling of ``forecast_ewma`` completing the classical
+    smoothing family (naive/seasonal-naive, OLS trend, EWMA, Holt,
+    GBT).
+
+    Engine-parity design: the recurrence folds left over the ordered
+    series with a TWO-ELEMENT array state ([level, trend]) in
+    ``F.aggregate``; the oracle reproduces it with ``list_reduce`` over
+    a list whose prepended first element is the init state (DuckDB's
+    reduce takes no init argument). alpha = beta = 0.5 makes every
+    multiply an exponent shift, so the only rounding is the pinned
+    -order additions — bit-exact across engines, like forecast_ewma.
+
+    Scale notes: one shuffle groups each supplier's series; state per
+    group is |weeks| doubles (the per-entity sequential-recurrence
+    escape hatch — bounded by series length, never corpus size).
+    """
+    weekly = _weekly_qty(spark, sf_dir)
+    s = weekly.groupBy("suppkey").agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("yr", "wk", "y"))),
+            lambda r: r["y"].cast("double"),
+        ).alias("ys"),
+    ).filter(F.col("n_weeks") >= _HOLT_MIN_WEEKS)
+    x1 = F.element_at("ys", 1)
+    x2 = F.element_at("ys", 2)
+
+    def step(acc, x):
+        new_level = x * F.lit(0.5) + (acc[0] + acc[1]) * F.lit(0.5)
+        new_trend = (
+            x * F.lit(0.5) + (acc[0] + acc[1]) * F.lit(0.5) - acc[0]
+        ) * F.lit(0.5) + acc[1] * F.lit(0.5)
+        return F.array(new_level, new_trend)
+
+    st = F.aggregate(
+        F.slice(F.col("ys"), 3, F.size("ys") - 2),
+        F.array(x2, x2 - x1),
+        step,
+    )
+    return s.select(
+        "suppkey",
+        "n_weeks",
+        F.round(st[0], 6).alias("holt_level"),
+        F.round(st[1], 6).alias("holt_trend"),
+        F.round(st[0] + st[1], 6).alias("holt_forecast"),
+    )

@@ -1277,3 +1277,76 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(novel).cast("long").alias("n_novel"),
         F.round(F.sum(novel) / F.count("*"), 4).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate (tokenizer-fit audit)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 200
+
+_OOV_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ex AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ex GROUP BY tok),
+vocab AS (SELECT tok FROM df ORDER BY df DESC, tok LIMIT {_VOCAB_SIZE}),
+per AS (
+  SELECT e.doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM ex e LEFT JOIN vocab v USING (tok)
+  GROUP BY e.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT)    AS n_oov,
+       round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
+FROM per
+"""
+
+
+@register("vocab_oov_rate", oracle=_OOV_ORACLE, tags=("text",))
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the top-{200}-by-document-
+    frequency vocabulary (ties broken by token, so the cut is
+    deterministic), then score every document's out-of-vocabulary token
+    rate — the tokenizer-fit statistic a training pipeline checks
+    before committing a vocab (high OOV = wrong tokenizer or corpus
+    drift).
+
+    Scale notes: two corpus passes by necessity (the vocabulary is a
+    global ranking). Pass 1 reduces to |vocab-candidates| rows
+    (array_distinct per doc BEFORE exploding caps the df aggregate's
+    input at distinct-tokens-per-doc) and TakeOrdered picks the top-k
+    without a global sort; pass 2 is map-only — the tiny vocab
+    BROADCASTs back, so the corpus never shuffles. At 100 TB you'd fit
+    the vocab on a hash-sample of documents (see ``hash_sample``) and
+    keep pass 2 exactly as is.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens("text").alias("__tk")
+    )
+    df_tok = (
+        d.select(F.explode(F.array_distinct("__tk")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    vocab = df_tok.orderBy(F.col("df").desc(), F.col("tok")).limit(_VOCAB_SIZE).select(
+        "tok", F.lit(1).alias("__in_vocab")
+    )
+    ex = d.select("doc_id", F.explode("__tk").alias("tok"))
+    scored = ex.join(F.broadcast(vocab), "tok", "left")
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4).alias(
+            "oov_rate"
+        ),
+    )
