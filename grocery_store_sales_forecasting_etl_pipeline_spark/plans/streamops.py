@@ -269,3 +269,38 @@ def stateful_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregate (batch contract for streaming/events.py)
+# ---------------------------------------------------------------------------
+
+# Spark's F.window and DuckDB's time_bucket both align buckets to
+# midnight for intervals that divide 24h, and the events timestamps are
+# NTZ on both sides, so 6-hour bucket boundaries agree in any session TZ.
+_TIME_BUCKETS_ORACLE = """
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("event_time_buckets", oracle=_TIME_BUCKETS_ORACLE, tags=("streaming", "window"))
+def event_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour window counts + exact-decimal value sums per
+    event type — THE core Structured Streaming aggregate
+    (streaming/events.py:windowed_counts), run in batch mode where the
+    DuckDB ``time_bucket`` oracle can verify it; pytest separately pins
+    stream==batch on the same helper with watermarked state.
+
+    Scale notes: one shuffle keyed on (window, event_type) with
+    map-side partial aggregation; in streaming form the watermark
+    evicts closed windows so state is bounded by the open-window set.
+    The decimal accumulator keeps the sum order-independent — the
+    property that makes the result checkable at all.
+    """
+    return ev.windowed_counts(_t(spark, sf_dir, "events"), window="6 hours")

@@ -118,14 +118,20 @@ def windowed_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Tumbling (or sliding) window counts/sums per event_type with a
-    watermark bounding state (late rows beyond it dropped)."""
-    df = events.withWatermark("ts", watermark)
+    watermark bounding state (late rows beyond it dropped). Works
+    identically on static frames (unified-API rule, like ``sessionize``
+    — a batch watermark is a no-op). The value sum accumulates in
+    exact decimal (rounded on output) so results are bit-stable across
+    partition orderings and engines."""
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         df.groupBy(win.alias("win"), F.col("event_type"))
         .agg(
-            F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
