@@ -1,0 +1,508 @@
+"""Round-5 additions: mergeable HLL sketch rollups, incremental
+aggregate maintenance, sweep-line concurrency, skyline (dominance)
+filtering, exact-integer histograms, and token-entropy scoring —
+warehouse/profiling shapes beyond the reference's aggregate core
+(SURVEY.md §2.4/§2.8 extensions; the reference's gold layer stops at
+plain groupBy aggregates, ``notebooks/gold_feature.py.py:14-24``).
+
+Every query here follows the registry's determinism contract: exact
+integer/decimal arithmetic wherever a sum crosses a shuffle, floats
+only at the output boundary behind ``round``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch rollup (approx-distinct audit)
+# ---------------------------------------------------------------------------
+
+# The oracle cannot reproduce an HLL estimate, but it CAN verify the
+# exact side and the audit verdict: the sketch estimate must land
+# within 5% of truth (lgConfigK=14 => ~0.8% RSD, so 5% is >6 sigma;
+# the sketch of a SET is order-independent — max per register — so the
+# boolean is deterministic, not flaky).
+_HLL_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(DISTINCT strftime(ts, '%Y-%m')) AS BIGINT) AS n_month_sketches,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("hll_distinct_audit", oracle=_HLL_ORACLE, tags=("agg", "sketch"))
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per (event_type, month) HLL
+    sketches of the user set, rolled up to per-type totals via sketch
+    UNION (``hll_union_agg``), audited against the exact distinct count
+    — the pre-aggregation pattern that makes COUNT(DISTINCT) cheap at
+    100 TB (the reference recomputes exact distincts from raw on every
+    query; sketches make the rollup incremental and re-mergeable).
+
+    Scale notes: the monthly sketch layer is what you'd persist — new
+    data only touches its own month's sketch, and ANY rollup grain
+    (quarter, year, all-time) is a union over fixed-size (~16 KB at
+    lgConfigK=14) binary states, never a re-scan. The exact side here
+    exists purely as the audit oracle. Estimate determinism: HLL state
+    is a per-register max, so partition order cannot change the
+    estimate; the 5% audit band is >6 sigma at this config.
+    """
+    e = _t(spark, sf_dir, "events")
+    monthly = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    rolled = monthly.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count("*").cast("long").alias("n_month_sketches"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(F.broadcast(rolled), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_month_sketches",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view merge)
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+              // count(*)) / 100.0, 2) AS avg_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def _order_partials(orders: DataFrame) -> DataFrame:
+    """The mergeable partial-aggregate state of the per-customer order
+    summary: (count, decimal sum, min, max). Everything here re-merges
+    associatively; AVG is derived at the final boundary, never stored."""
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+def merge_agg_states(states: DataFrame) -> DataFrame:
+    """Merge a union of partial-aggregate states (any number of
+    increments) into the final per-customer summary. This is the
+    incremental-materialized-view refresh: the base state is yesterday's
+    merged output, the increment is today's partition's partials, and
+    the merge never re-reads history — the 100 TB refresh touches only
+    new data plus a state table keyed at the view grain."""
+    return (
+        states.groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_price").alias("sum_price"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("sum_price").cast("double").alias("total_price"),
+            # floor-to-cent average in exact integer arithmetic: a
+            # double average of a 2 dp sum lands EXACTLY on .xx5
+            # whenever n divides the cents evenly-and-a-half, and the
+            # two engines' round() break that tie differently (measured
+            # at sf0.01: 3235649.13/14 = .795 -> .79 vs .80)
+            F.round(
+                F.expr("CAST(sum_price * 100 AS BIGINT) DIV n_orders") / 100.0,
+                2,
+            ).alias("avg_price"),
+            "first_order",
+            "last_order",
+        )
+    )
+
+
+@register("incremental_agg_merge", oracle=_INCR_ORACLE, tags=("agg", "incremental"))
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-customer order
+    summary built as BASE (orders before 1997-01-01) partial-aggregate
+    states merged with a DELTA (orders on/after the cutoff) — proving
+    the merge of mergeable states is indistinguishable from a full
+    recompute (the oracle IS the full recompute). The reference
+    recomputes its gold aggregates from silver on every run
+    (``notebooks/gold_feature.py.py:14-24``); at 100 TB the recompute
+    is the bottleneck and this state-merge is the replacement.
+
+    Scale notes: the decimal sum keeps the merged total bit-stable under
+    any partition/merge order; count/min/max are trivially associative;
+    AVG is derived only at the output boundary (storing it would break
+    re-mergeability). Both legs aggregate map-side before one shuffle
+    on the view grain.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    base = _order_partials(o.filter(F.col("o_orderdate") < cutoff))
+    delta = _order_partials(o.filter(F.col("o_orderdate") >= cutoff))
+    return merge_agg_states(base.unionByName(delta))
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency (interval analytics without a global sort)
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH sess AS (
+  SELECT user_id, s_grp, min(ts) AS s_start, max(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           sum(CASE WHEN prev_ts IS NULL
+                      OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s_grp
+    FROM (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+  )
+  GROUP BY user_id, s_grp
+),
+deltas AS (
+  SELECT user_id, s_start AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT user_id, s_end AS ts, -1 AS delta FROM sess
+),
+run AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(delta) OVER (ORDER BY ts, delta DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM deltas
+)
+SELECT d, CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY d
+"""
+
+
+@register(
+    "concurrent_sessions_peak", oracle=_CONCURRENCY_ORACLE, tags=("window", "sessions")
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions via a sweep line: 30-minute-gap
+    sessions become (+1 at start, -1 at end) deltas; the running sum of
+    deltas in global time order is the live concurrency, and its daily
+    max is the capacity-planning statistic. Closed-interval semantics
+    (+1 sorts before -1 at the same instant) so back-to-back sessions
+    at a shared boundary both count.
+
+    Scale notes: a naive sweep line needs ONE GLOBAL SORT — a single
+    reducer at 100 TB. This plan splits it two-level: within-day
+    running sums (window partitioned by date — parallel across days),
+    plus a per-day net-delta frame (one row per day) whose cumulative
+    sum, computed on that micro-frame and broadcast back, is the
+    carry-in offset for sessions still open at midnight. The global
+    prefix sum is recovered exactly without any single-partition pass
+    over event-grain data. The day-grain window is the only
+    unpartitioned window and it runs on |days| rows.
+
+    Determinism: the sweep order (ts, delta DESC, user_id) is total for
+    the daily-max statistic — rows tied on (ts, delta) carry the same
+    sign, so every permutation reaches the same extreme within the tie
+    group.
+    """
+    e = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = e.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(
+                F.lag("ts").over(wu).isNull()
+                | (
+                    # NTZ has no direct long cast; the UTC-pinned session
+                    # (see _tables.events) makes the intermediate
+                    # timestamp cast a pure epoch read
+                    F.col("ts").cast("timestamp").cast("long")
+                    - F.lag("ts").over(wu).cast("timestamp").cast("long")
+                    > 30 * 60
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(wu)
+        .alias("s_grp"),
+    )
+    sess = grp.groupBy("user_id", "s_grp").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    deltas = sess.select(
+        "user_id", F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select("user_id", F.col("s_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    deltas = deltas.withColumn("d", F.col("ts").cast("date"))
+    # level 1: within-day running sum, parallel across days
+    wd = Window.partitionBy("d").orderBy(
+        "ts", F.col("delta").desc(), "user_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = deltas.withColumn("local_run", F.sum("delta").over(wd))
+    # level 2: per-day net delta -> carry-in offsets on a |days|-row frame
+    woff = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        deltas.groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+        .select("d", F.coalesce(F.sum("net").over(woff), F.lit(0)).alias("carry_in"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "d")
+        .groupBy("d")
+        .agg(
+            F.max(F.col("local_run") + F.col("carry_in"))
+            .cast("long")
+            .alias("peak_concurrent")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-dominance) filter without the quadratic self-join
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, CAST(p.p_retailprice AS DOUBLE) AS price, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register("part_skyline", oracle=_SKYLINE_ORACLE, tags=("window", "join"))
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not dominated on (minimize retail price,
+    maximize size) — the Pareto frontier a sourcing query wants. The
+    textbook formulation is a quadratic NOT EXISTS self-join (the
+    oracle); this plan computes the identical set in two linear window
+    passes: a part survives iff (a) it has the max size within its
+    exact price tier, and (b) its size strictly exceeds the running max
+    size over all STRICTLY cheaper tiers.
+
+    Scale notes: the price-tier frame (one row per distinct price)
+    carries the cross-tier running max. Rather than one global-order
+    window over that frame, tiers are bucketed by coarse price bands:
+    within-band running max in parallel, then a |bands|-row cumulative
+    max broadcast back as each band's carry-in — the same two-level
+    prefix decomposition as ``concurrent_sessions_peak``, so no stage
+    sorts more than one band of tiers in a single task. The final join
+    back to parts is on the price tier (shuffle on a key with
+    tier-sized groups, no skew).
+    """
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("price"), "p_size"
+    )
+    tiers = p.groupBy("price").agg(F.max("p_size").alias("tier_max"))
+    tiers = tiers.withColumn("band", F.floor(F.col("price") / 100).cast("long"))
+    # level 1: running max over strictly-cheaper tiers within the band
+    wb = Window.partitionBy("band").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = tiers.withColumn("band_prev_max", F.max("tier_max").over(wb))
+    # level 2: cumulative max of band maxima over PRIOR bands (micro-frame)
+    wband = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        tiers.groupBy("band")
+        .agg(F.max("tier_max").alias("band_max"))
+        .select("band", F.max("band_max").over(wband).alias("band_carry_max"))
+    )
+    frontier_tiers = (
+        local.join(F.broadcast(carry), "band")
+        .withColumn(
+            "prev_max",
+            F.greatest(
+                F.coalesce("band_prev_max", F.lit(-(2**31))),
+                F.coalesce("band_carry_max", F.lit(-(2**31))),
+            ),
+        )
+        .filter(F.col("tier_max") > F.col("prev_max"))
+        .select("price", "tier_max")
+    )
+    return (
+        p.join(frontier_tiers, "price")
+        .filter(F.col("p_size") == F.col("tier_max"))
+        .select(
+            "p_partkey", F.col("price").cast("double").alias("price"), "p_size"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer equi-width histogram
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+mm AS (
+  SELECT min(cents) AS lo, max(cents) AS hi FROM b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       round((lo + bucket * (hi - lo) // 20) / 100.0, 2) AS bucket_lo,
+       round((lo + (bucket + 1) * (hi - lo) // 20) / 100.0, 2) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT least(19, ((cents - lo) * 20) // (hi - lo)) AS bucket, lo, hi
+  FROM b, mm
+)
+GROUP BY bucket, lo, hi
+"""
+
+
+@register("numeric_histogram", oracle=_HISTOGRAM_ORACLE, tags=("agg", "profile"))
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order totals — the
+    distribution-profiling companion to ``table_profile``'s min/max
+    scan. All bucket arithmetic is exact integer cents (scaled floor
+    division), so bucket boundaries are bit-identical across engines
+    and partitionings; dollars reappear only at the output boundary.
+
+    Scale notes: two scans by necessity (global min/max, then
+    bucketing) but the min/max frame is ONE row joined back as a
+    broadcast — no driver collect, no literal capture, so the plan
+    stays fully lazy and the second scan's bucket expression is
+    whole-stage codegen. The aggregate reduces to ≤20 rows with
+    map-side partials.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    mm = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    bucketed = o.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(19),
+            ((F.col("cents") - F.col("lo")) * 20) / (F.col("hi") - F.col("lo")),
+        )
+        .cast("long")
+        .alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return (
+        bucketed.groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.col("lo")
+                    + F.floor(F.col("bucket") * (F.col("hi") - F.col("lo")) / 20)
+                )
+                / 100.0,
+                2,
+            ).alias("bucket_lo"),
+            F.round(
+                (
+                    F.col("lo")
+                    + F.floor((F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / 20)
+                )
+                / 100.0,
+                2,
+            ).alias("bucket_hi"),
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy document scoring
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+cnt AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         sum(c * ln(c)) AS s_clogc
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(ln(n_tokens) - s_clogc / n_tokens, 4) AS entropy,
+       CASE WHEN n_distinct > 1
+            THEN round((ln(n_tokens) - s_clogc / n_tokens) / ln(n_distinct), 4)
+            ELSE 0.0 END AS norm_entropy
+FROM agg
+"""
+
+
+@register("doc_token_entropy", oracle=_ENTROPY_ORACLE, tags=("text", "quality"))
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats),
+    plus entropy normalized by its maximum ln(distinct) — the
+    information-density quality signal that separates natural prose
+    (high) from boilerplate/keyword-stuffed spam (low). Complements
+    ``doc_repetition``'s n-gram view with a unigram-distribution view.
+
+    H = ln(N) - (1/N)·Σ c·ln(c) from exact integer token counts — the
+    only floating step is ln over small integers, identical across
+    engines, and the Σ is rounded well inside double precision at the
+    4 dp output boundary.
+
+    Scale notes: one explode + one (doc, token) aggregate with map-side
+    partials, then a doc-grain reduce; no window, no global order. The
+    (doc, token) shuffle is the token-frequency shuffle every TF stage
+    in textops already pays — at 100 TB this pipelines with
+    ``doc_tfidf_topk``'s term-frequency frame rather than adding a new
+    pass shape.
+    """
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("s_clogc"),
+    )
+    h = F.log(F.col("n_tokens")) - F.col("s_clogc") / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 4).alias("entropy"),
+        F.when(F.col("n_distinct") > 1, F.round(h / F.log(F.col("n_distinct")), 4))
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

@@ -304,3 +304,46 @@ def event_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that makes the result checkable at all.
     """
     return ev.windowed_counts(_t(spark, sf_dir, "events"), window="6 hours")
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window aggregate
+# ---------------------------------------------------------------------------
+
+# A 6h window hopping every 3h puts each event in exactly 2 windows:
+# starts time_bucket(3h, ts) and time_bucket(3h, ts) - 3h. The oracle
+# materializes that membership with a 2-row unnest cross join. Both
+# engines align 3h buckets to midnight on NTZ timestamps.
+_SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL 3 HOUR, ts) - k * INTERVAL 3 HOUR AS window_start,
+       time_bucket(INTERVAL 3 HOUR, ts) - k * INTERVAL 3 HOUR
+         + INTERVAL 6 HOUR AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) hops
+GROUP BY 1, 2, 3
+"""
+
+
+@register("event_sliding_windows", oracle=_SLIDING_ORACLE, tags=("streaming", "window"))
+def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate: 6-hour windows hopping every 3 hours
+    (each event counted in size/slide = 2 overlapping windows) — the
+    trend-smoothing companion to ``event_time_buckets``'s tumbling
+    windows, and the second core Structured Streaming window shape
+    (``streaming/events.py:windowed_counts`` with ``slide=``; pytest
+    pins stream==batch for the sliding form too).
+
+    Scale notes: Spark expands each row to its window memberships
+    BEFORE the shuffle, so the aggregate is still one shuffle with
+    map-side partials — state and traffic scale with size/slide
+    (here 2×), which is the knob to watch at 100 TB (a 24h window
+    sliding every minute would be a 1440× explosion; prefer tumbling
+    partials rolled up to the sliding grain for such ratios). In
+    streaming form the watermark evicts windows whose end precedes it,
+    bounding state to the open-window set per type.
+    """
+    return ev.windowed_counts(
+        _t(spark, sf_dir, "events"), window="6 hours", slide="3 hours"
+    )

@@ -61,6 +61,36 @@ def test_stream_windowed_counts_equal_batch(spark, events_dir):
         assert abs(got[k][1] - want[k][1]) < 1e-6
 
 
+def test_stream_sliding_windows_equal_batch(spark, events_dir):
+    """Hopping-window form of the unified-API property: each event lands
+    in size/slide = 2 overlapping windows in stream and batch alike."""
+    stream = ev.stream_events(spark, events_dir)
+    ev.run_to_memory(
+        spark,
+        ev.windowed_counts(stream, window="2 hours", slide="1 hour"),
+        "win_sliding",
+        output_mode="complete",
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_sliding").collect()
+    }
+    batch = ev.windowed_counts(
+        _batch_events(spark, events_dir), window="2 hours", slide="1 hour"
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got.keys() == want.keys()
+    assert sum(v[0] for v in want.values()) == 2 * _batch_events(
+        spark, events_dir
+    ).count()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
 def test_stream_dedup(spark, events_dir):
     stream = ev.stream_events(spark, events_dir)
     ev.run_to_memory(
