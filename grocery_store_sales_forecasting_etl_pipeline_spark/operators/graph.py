@@ -131,3 +131,57 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_kept"),
     )
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    init_mass: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank-style mass diffusion over an undirected
+    graph in EXACT integer arithmetic: every node starts with
+    ``init_mass``; each round a node keeps the teleport share
+    ``init_mass - (init_mass*d_num)//d_den`` and receives
+    ``(d_num * m(u)) // (d_den * deg(u))`` from each neighbor ``u``
+    (floor division — all quantities stay BIGINT, so the result is
+    bit-identical under any partitioning, join order, or engine; a
+    float PageRank's shuffle-order double sums are not).
+
+    Input ``edges``: (u, v) rows, any direction, duplicates/self-loops
+    tolerated (canonicalized away). Returns (v, mass) for every node.
+
+    Scale notes: each round is the classic Pregel-as-join — node-frame
+    ⋈ degree (node-grain), then edge-frame ⋈ shares + groupBy(dst) with
+    map-side partial sums (one edge-grain shuffle per round).
+    ``localCheckpoint`` truncates the per-round lineage exactly as
+    ``connected_components`` does. High-degree hubs cost only their
+    edge count — a hub's inbound sum is a partial-aggregated reduce,
+    never a single-task neighborhood materialization. Fixed ``iters``
+    (vs convergence testing) keeps the job graph static — at 100 TB
+    you want the round count chosen, not data-dependent.
+    """
+    und = _symmetrize(_canonical(edges)).localCheckpoint(eager=False)
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    teleport = init_mass - (init_mass * damping_num) // damping_den
+    mass = deg.select(
+        F.col("u").alias("v"), F.lit(init_mass).cast("long").alias("m")
+    )
+    for _ in range(iters):
+        shares = (
+            mass.join(deg, mass["v"] == deg["u"])
+            .select(
+                F.col("v").alias("src"),
+                F.expr(
+                    f"({damping_num} * m) DIV ({damping_den} * d)"
+                ).alias("share"),
+            )
+        )
+        mass = (
+            und.join(shares, und["u"] == shares["src"])
+            .groupBy(und["v"].alias("v"))
+            .agg((F.lit(teleport) + F.sum("share")).cast("long").alias("m"))
+            .localCheckpoint(eager=False)
+        )
+    return mass.select("v", F.col("m").alias("mass"))

@@ -436,6 +436,84 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Integer-exact PageRank over the customer-supplier graph
+# ---------------------------------------------------------------------------
+
+# Three unrolled diffusion rounds; every quantity is BIGINT floor
+# division, so both engines agree bit-for-bit (a float PageRank's
+# shuffle-order double sums would not). The CTE shape mirrors
+# operators/graph.integer_pagerank exactly: share(u) = (17*m)//(20*d),
+# new m(v) = 150000 + sum over neighbors.
+_PAGERANK_ORACLE = """
+WITH eset AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+und AS (
+  SELECT 'c' || c AS u, 's' || s AS v FROM eset
+  UNION ALL
+  SELECT 's' || s AS u, 'c' || c AS v FROM eset
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+m0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS m FROM deg),
+m1 AS (
+  SELECT und.v, CAST(150000 + sum((17 * m0.m) // (20 * deg.d)) AS BIGINT) AS m
+  FROM und JOIN m0 ON und.u = m0.v JOIN deg ON deg.u = und.u
+  GROUP BY und.v
+),
+m2 AS (
+  SELECT und.v, CAST(150000 + sum((17 * m1.m) // (20 * deg.d)) AS BIGINT) AS m
+  FROM und JOIN m1 ON und.u = m1.v JOIN deg ON deg.u = und.u
+  GROUP BY und.v
+),
+m3 AS (
+  SELECT und.v, CAST(150000 + sum((17 * m2.m) // (20 * deg.d)) AS BIGINT) AS m
+  FROM und JOIN m2 ON und.u = m2.v JOIN deg ON deg.u = und.u
+  GROUP BY und.v
+)
+SELECT CAST(substr(v, 2) AS BIGINT) AS suppkey, m AS mass
+FROM m3 WHERE v LIKE 's%'
+"""
+
+
+@register("supplier_graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph", "join"))
+def supplier_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier importance by 3-round PageRank diffusion over the
+    undirected customer-supplier transaction graph (distinct
+    (custkey, suppkey) pairs through orders ⋈ lineitem) — the second
+    iterative graph operator next to ``dedup_components``' connected
+    components, and the hash-checkable one: all mass arithmetic is
+    integer floor division (``operators/graph.integer_pagerank``), so
+    the fixed-round result is bit-exact in any engine/partitioning.
+
+    Scale notes: per round, one node-grain join (mass ⋈ degree) and one
+    edge-grain shuffle (edges ⋈ shares → groupBy dst with map-side
+    partial sums); hubs cost their edge count, never a single-task
+    neighborhood. Lineage truncated per round with ``localCheckpoint``
+    like the CC operator. Edge extraction itself is the usual
+    fact-to-fact equi-join on orderkey.
+    """
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.graph import (
+        integer_pagerank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    eset = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"),
+        )
+        .distinct()
+    )
+    ranks = integer_pagerank(eset, iters=3)
+    return ranks.filter(F.col("v").startswith("s")).select(
+        F.expr("CAST(substr(v, 2) AS BIGINT)").alias("suppkey"), "mass"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-entropy document scoring
 # ---------------------------------------------------------------------------
 
