@@ -185,3 +185,62 @@ def integer_pagerank(
             .localCheckpoint(eager=False)
         )
     return mass.select("v", F.col("m").alias("mass"))
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Enumerate the triangles of an undirected graph, each exactly
+    once, as (x, y, z) rows with x < y < z — the degree-oriented
+    wedge-join algorithm (Suri & Vassilvitskii, "Counting Triangles
+    and the Curse of the Last Reducer", WWW'11).
+
+    Input ``edges``: (u, v) rows, any direction; duplicates and
+    self-loops tolerated (canonicalized away).
+
+    Why degree orientation at 100 TB: each canonical edge is directed
+    from its (degree, id)-smaller endpoint to the larger, so every
+    node's OUT-degree is O(sqrt(m)) and the wedge stage enumerates at
+    most O(m^1.5) candidate wedges total — a natural-id orientation
+    lets one hub own almost all wedges (the "last reducer"). The plan
+    is three shuffles: degree groupBy, the wedge self-join on the apex,
+    and the closing equi-join back to the oriented edge set; no vertex
+    neighborhood is ever materialized in a single task.
+    """
+    # e feeds both the degree count and the orientation join; oriented
+    # feeds both wedge sides and the closing join — localCheckpoint so
+    # neither lineage re-executes per consumer
+    e = _canonical(edges).localCheckpoint(eager=False)
+    deg = _symmetrize(e).groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    da = deg.select(F.col("u").alias("__a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("u").alias("__b"), F.col("d").alias("__db"))
+    ranked = e.join(da, e["u"] == F.col("__a")).join(db, e["v"] == F.col("__b"))
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("ddst"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(
+        F.col("src").alias("apex"), F.col("dst").alias("p"),
+        F.col("ddst").alias("dp"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("apex"), F.col("dst").alias("q"),
+        F.col("ddst").alias("dq"),
+    )
+    wedges = e1.join(e2, "apex").where(
+        (F.col("dp") < F.col("dq"))
+        | ((F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("p"), F.col("dst").alias("q")
+    )
+    tri = wedges.join(closing, ["p", "q"]).select(
+        F.array_sort(F.array("apex", "p", "q")).alias("t")
+    )
+    return tri.select(
+        F.element_at("t", 1).alias("x"),
+        F.element_at("t", 2).alias("y"),
+        F.element_at("t", 3).alias("z"),
+    )
