@@ -244,3 +244,32 @@ def triangles(edges: DataFrame) -> DataFrame:
         F.element_at("t", 2).alias("y"),
         F.element_at("t", 3).alias("z"),
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling: each round drops every node whose
+    CURRENT degree is below ``k`` (and all its edges), then returns the
+    surviving nodes with their degrees in the peeled graph — the
+    iterative vertex-filter shape (vs connected components' label
+    propagation and PageRank's diffusion). Fixed ``rounds`` keeps the
+    job graph static; the exact k-core is this loop run to fixpoint.
+
+    Scale notes: each round is one degree groupBy plus two left-semi
+    joins re-filtering the edge list — the edge set only ever shrinks,
+    and the survivors frame is the degree aggregate (node-grain, far
+    smaller than edges). ``localCheckpoint`` truncates per-round
+    lineage exactly as ``connected_components`` does. A hub is never
+    materialized in one task: its degree is a partial-aggregated count
+    and its edges re-filter in parallel.
+    """
+    e = _canonical(edges).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = _symmetrize(e).groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select(F.col("u").alias("__k"))
+        e = (
+            e.join(keep, e["u"] == keep["__k"], "left_semi")
+            .join(keep, e["v"] == keep["__k"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    final = _symmetrize(e).groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    return final.select(F.col("u").alias("v"), F.col("d").alias("degree"))

@@ -1066,6 +1066,21 @@ def edit_distance_verify(
     Unbounded (None) matches a plain-SQL oracle exactly; at 100 TB you
     set the cap to your dedup decision threshold.
     """
+    over = False
+    if broadcast_max_pairs is not None:
+        # localCheckpoint, NOT persist: the gate count materializes the
+        # candidate pipeline once and the main query below reuses the
+        # blocks through the checkpointed frame. A persist() here leaks
+        # (never unpersisted) AND poisons any later identical build in
+        # the session — Spark's CacheManager matches cached plans by
+        # canonicalized form, so a benchmark's second run would silently
+        # skip the whole candidate stage (observed: sf10 probe timed
+        # 1.6s against an honest 42s cold run).
+        pairs = pairs.localCheckpoint(eager=False)
+        try:
+            over = pairs.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+        except Exception:
+            over = True
     sides = pairs.select(
         "id_1",
         "id_2",
@@ -1077,13 +1092,8 @@ def edit_distance_verify(
             )
         ).alias("__s"),
     ).select("id_1", "id_2", "jaccard", f"__s.{id_col}", "__s.side")
-    if broadcast_max_pairs is not None:
-        pairs_cached = pairs.persist()
-        try:
-            over = pairs_cached.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
-        except Exception:
-            over = True
-        sides = sides if over else F.broadcast(sides)
+    if broadcast_max_pairs is not None and not over:
+        sides = F.broadcast(sides)
     matched = docs.select(F.col(id_col), F.col(text_col).alias("__text")).join(
         sides, id_col
     )
