@@ -55,11 +55,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     names = HEADLINE or sorted(plans.REGISTRY)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         q = plans.REGISTRY.get(name)
         if q is None:
             continue
-        timings[name] = round(time_query(spark, q.build, SF_DIR), 4)
+        try:
+            timings[name] = round(time_query(spark, q.build, SF_DIR), 4)
+        except Exception as exc:  # one failing query must not lose the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -71,6 +75,7 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "n_queries": len(timings),
                 "runs_per_query": N_RUNS,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

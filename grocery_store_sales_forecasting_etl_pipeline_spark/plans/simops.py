@@ -88,7 +88,17 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH blocking.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.cosine_dup_pairs_blocked(emb, threshold=0.4, round_to=4, n_blocks=4)
+    # block count scales with the corpus so a block-pair GEMM's output
+    # stays ~<=5000² doubles (~200 MB) per task: a FIXED n_blocks=4
+    # at 500k vectors means a 125k² intermediate (~125 GB) — OOM (hit
+    # at the sf10 probe). The emitted pair SET and its 4dp rounding are
+    # blocking-invariant (each pair's dot is one fixed-order kernel),
+    # so the oracle hash is unchanged at any n_blocks. The count is a
+    # parquet-metadata action, not a scan.
+    n_blocks = max(4, -(-emb.count() // 5000))
+    return sim.cosine_dup_pairs_blocked(
+        emb, threshold=0.4, round_to=4, n_blocks=n_blocks
+    )
 
 
 # ---------------------------------------------------------------------------
