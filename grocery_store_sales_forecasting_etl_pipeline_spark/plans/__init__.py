@@ -36,6 +36,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational9
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational10  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational11  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational12  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational13  # noqa: F401
 
 __all__ = [
     "REGISTRY",
