@@ -450,9 +450,9 @@ WITH eset AS (
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
 und AS (
-  SELECT 'c' || c AS u, 's' || s AS v FROM eset
+  SELECT 2 * c AS u, 2 * s + 1 AS v FROM eset
   UNION ALL
-  SELECT 's' || s AS u, 'c' || c AS v FROM eset
+  SELECT 2 * s + 1 AS u, 2 * c AS v FROM eset
 ),
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
 m0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS m FROM deg),
@@ -471,8 +471,8 @@ m3 AS (
   FROM und JOIN m2 ON und.u = m2.v JOIN deg ON deg.u = und.u
   GROUP BY und.v
 )
-SELECT CAST(substr(v, 2) AS BIGINT) AS suppkey, m AS mass
-FROM m3 WHERE v LIKE 's%'
+SELECT (v - 1) // 2 AS suppkey, m AS mass
+FROM m3 WHERE v % 2 = 1
 """
 
 
@@ -499,17 +499,17 @@ def supplier_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    eset = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"),
-        )
-        .distinct()
+    # disjoint LONG node encoding (2c even / 2s+1 odd): every join and
+    # groupBy in the diffusion rounds hashes fixed-width longs instead
+    # of strings; dedup is left to the operator's canonicalization (an
+    # extra .distinct() here would just repeat that shuffle)
+    eset = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).cast("long").alias("u"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("v"),
     )
     ranks = integer_pagerank(eset, iters=3)
-    return ranks.filter(F.col("v").startswith("s")).select(
-        F.expr("CAST(substr(v, 2) AS BIGINT)").alias("suppkey"), "mass"
+    return ranks.filter(F.col("v") % 2 == 1).select(
+        F.expr("(v - 1) DIV 2").alias("suppkey"), "mass"
     )
 
 

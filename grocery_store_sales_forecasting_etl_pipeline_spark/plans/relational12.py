@@ -194,7 +194,7 @@ WITH eset AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-e0 AS (SELECT 'c' || c AS u, 's' || s AS v FROM eset)"""
+e0 AS (SELECT 2 * c AS u, 2 * s + 1 AS v FROM eset)"""
     rounds = []
     for i in range(_KCORE_ROUNDS):
         rounds.append(f"""
@@ -219,8 +219,8 @@ df AS (
   FROM (SELECT u AS n FROM e{last} UNION ALL SELECT v AS n FROM e{last})
   GROUP BY n
 )
-SELECT CAST(substr(n, 2) AS BIGINT) AS suppkey, d AS degree
-FROM df WHERE n LIKE 's%'
+SELECT (n - 1) // 2 AS suppkey, d AS degree
+FROM df WHERE n % 2 = 1
 """
     )
 
@@ -245,17 +245,16 @@ def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    eset = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"),
-        )
-        .distinct()
+    # disjoint LONG node encoding (2c even / 2s+1 odd) — same rationale
+    # as supplier_graph_pagerank: long-keyed shuffles, and dedup left
+    # to the operator's canonicalization
+    eset = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).cast("long").alias("u"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("v"),
     )
     core = kcore_peel(eset, k=_KCORE_K, rounds=_KCORE_ROUNDS)
-    return core.filter(F.col("v").startswith("s")).select(
-        F.expr("CAST(substr(v, 2) AS BIGINT)").alias("suppkey"), "degree"
+    return core.filter(F.col("v") % 2 == 1).select(
+        F.expr("(v - 1) DIV 2").alias("suppkey"), "degree"
     )
 
 

@@ -158,29 +158,61 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per band.
     """
     c = _t(spark, sf_dir, "customer")
-    a = c.select(
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_custkey").alias("custkey_1"),
-        F.col("c_name").alias("name_1"),
+    # FastSS deletion-neighborhood blocking (Bocek et al., 2007),
+    # COMPLETE for lev <= 1: two strings within one edit share at least
+    # one member of their deletion neighborhoods (the string itself
+    # plus every single-character deletion) — a substitution matches
+    # after deleting the edited position from both, an insert/delete
+    # after deleting the extra character. Candidates therefore come
+    # from an equi-join on (nationkey, variant) whose fan-out is
+    # Σ variant-bucket² (near-linear), not Σ nation-block² (600²·25 ≈
+    # 9M pairs at sf0.1 — the naive shape measured 12.8s; this one
+    # ~1s). The capped 3-arg levenshtein then verifies survivors with
+    # an early-abandon DP and returns the true distance. The oracle
+    # keeps the plain quadratic block join — same rows, which is the
+    # point: blocking is a plan choice, not a semantics choice.
+    dels = F.expr(
+        "array_distinct(array_union(array(c_name), "
+        "transform(sequence(1, length(c_name)), "
+        "j -> concat(substr(c_name, 1, j - 1), "
+        "substr(c_name, j + 1, length(c_name))))))"
     )
-    b = c.select(
+    keyed = c.select(
         F.col("c_nationkey").alias("nationkey"),
-        F.col("c_custkey").alias("custkey_2"),
-        F.col("c_name").alias("name_2"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.explode_outer(dels).alias("variant"),
     )
-    lev = F.levenshtein("name_1", "name_2")
-    return (
-        a.join(b, "nationkey")
-        .filter(F.col("custkey_1") < F.col("custkey_2"))
-        .filter(lev <= 1)
-        .select(
-            "nationkey",
-            "custkey_1",
-            "custkey_2",
-            "name_1",
-            "name_2",
-            lev.cast("long").alias("lev"),
+    a = keyed.select(
+        "nationkey",
+        F.col("custkey").alias("custkey_1"),
+        F.col("name").alias("name_1"),
+        "variant",
+    )
+    b = keyed.select(
+        F.col("nationkey").alias("nationkey_b"),
+        F.col("custkey").alias("custkey_2"),
+        F.col("name").alias("name_2"),
+        F.col("variant").alias("variant_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("nationkey") == F.col("nationkey_b"))
+            & (F.col("variant") == F.col("variant_b"))
+            & (F.col("custkey_1") < F.col("custkey_2")),
         )
+        .select("nationkey", "custkey_1", "custkey_2", "name_1", "name_2")
+        .dropDuplicates(["custkey_1", "custkey_2"])
+    )
+    lev = F.levenshtein("name_1", "name_2", 1)
+    return cand.filter(lev >= 0).select(
+        "nationkey",
+        "custkey_1",
+        "custkey_2",
+        "name_1",
+        "name_2",
+        lev.cast("long").alias("lev"),
     )
 
 

@@ -125,9 +125,28 @@ def test_no_shingle_recompute_in_scan_filters(spark, sf_oracle):
     Builders avoid it via materialized token columns + explode_outer."""
     for name in ["doc_ngram_jaccard", "doc_minhash_lsh", "benchmark_decontam",
                  "doc_repetition", "simhash_candidates",
-                 "doc_winnow_fingerprints", "near_dup_verify", "doc_novelty"]:
+                 "doc_winnow_fingerprints", "near_dup_verify", "doc_novelty",
+                 "inverted_index_postings", "dedup_triangle_census"]:
         plan = _simple(spark, name, sf_oracle)
         assert "element_at(split" not in plan, f"{name} re-inlines split into a filter"
+
+
+def test_zorder_audit_map_only_plus_two_aggregates(spark, sf_oracle):
+    """zorder_layout_audit: the Morton key must stay a map-only codegen
+    expression — exactly two exchanges total (the 1-row min/max frame's
+    single-partition agg and the 16-row bucket agg), no sort, and the
+    frame side joined as a broadcast."""
+    plan = _simple(spark, "zorder_layout_audit", sf_oracle)
+    assert plan.count("Exchange") == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Sort" not in plan, plan
+
+
+def test_key_skew_report_distributed_topk(spark, sf_oracle):
+    """key_skew_report: the top-20 must be TakeOrderedAndProject
+    (per-partition top-k), never a global Sort of all keys."""
+    plan = _simple(spark, "key_skew_report", sf_oracle)
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_backtest_two_exchanges_agg_fused_with_window(spark, sf_oracle):
