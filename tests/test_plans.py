@@ -137,7 +137,10 @@ def test_zorder_audit_map_only_plus_two_aggregates(spark, sf_oracle):
     single-partition agg and the 16-row bucket agg), no sort, and the
     frame side joined as a broadcast."""
     plan = _simple(spark, "zorder_layout_audit", sf_oracle)
-    assert plan.count("Exchange") == 2, plan
+    # two data exchanges (frame's single-partition agg + bucket agg);
+    # the third "Exchange" is the frame's BroadcastExchange itself
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Sort" not in plan, plan
 
