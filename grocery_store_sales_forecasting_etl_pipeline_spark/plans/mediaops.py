@@ -217,3 +217,65 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized_len",
         "resized_byte_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (fixed-stride, JVM-side)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 256
+_FRAME_EVERY_N = 2
+_FRAME_MAX = 8
+
+# The synthesized blob is 'RIFF' + UTF-8 text and the corpus is ASCII,
+# so DuckDB's character-based substring over 'RIFF' || text slices the
+# IDENTICAL bytes the Spark side slices out of the binary column (the
+# same ASCII equivalence every multimodal oracle here relies on).
+_FRAME_ORACLE = f"""
+WITH c AS (SELECT doc_id, 'RIFF' || text AS content FROM documents),
+i AS (SELECT unnest(range(0, {_FRAME_MAX})) AS frame_idx),
+f AS (
+  SELECT doc_id, frame_idx,
+         substring(content,
+                   frame_idx * {_FRAME_EVERY_N * _FRAME_BYTES} + 1,
+                   {_FRAME_BYTES}) AS frame
+  FROM c, i
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(length(frame) AS BIGINT) AS frame_len,
+       md5(frame) AS frame_md5
+FROM f WHERE length(frame) > 0
+"""
+
+
+@register("video_frame_sample", oracle=_FRAME_ORACLE, tags=("multimodal",))
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over fixed-frame-size video blobs:
+    every second 256-byte frame, up to 8 per blob, as
+    (doc_id, frame_idx, length, md5 digest) rows — the frame
+    -extraction plumbing of a video training pipeline
+    (functions/multimodal.py:sample_frames). Frame CONTENT stays
+    JVM-side (substring-on-binary + posexplode, no Python crossing);
+    only scalar digests cross the driver boundary.
+
+    Scale notes: map-only with a bounded 8-way explode — at 100 TB
+    frames flow straight into the Arrow-batched decode stage
+    (decode_images) without any shuffle; the digest projection here
+    stands in for that consumer. A real container format would swap
+    the fixed-stride slicer for a keyframe-index lookup; the
+    partitioning and schema shape are identical.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media_from_text(docs)
+    frames = mm.sample_frames(
+        media,
+        frame_bytes=_FRAME_BYTES,
+        every_n=_FRAME_EVERY_N,
+        max_frames=_FRAME_MAX,
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
