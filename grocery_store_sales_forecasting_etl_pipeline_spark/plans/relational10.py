@@ -170,6 +170,37 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sweep-line peak concurrency (interval analytics without a global sort)
 # ---------------------------------------------------------------------------
 
+def session_bounds(e: DataFrame) -> DataFrame:
+    """(user_id, s_start, s_end) for 30-minute-gap sessions over the
+    events frame — the single sessionization shared by every sweep-line
+    query (peak concurrency here, interval-union coverage in
+    relational13) so the gap constant, the (ts, event_id) tie-break,
+    and the NTZ-epoch cast workaround live in ONE place. NTZ has no
+    direct long cast; the UTC-pinned session (see _tables.events)
+    makes the intermediate timestamp cast a pure epoch read."""
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = e.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(
+                F.lag("ts").over(wu).isNull()
+                | (
+                    F.col("ts").cast("timestamp").cast("long")
+                    - F.lag("ts").over(wu).cast("timestamp").cast("long")
+                    > 30 * 60
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(wu)
+        .alias("s_grp"),
+    )
+    return grp.groupBy("user_id", "s_grp").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+
+
 _CONCURRENCY_ORACLE = """
 WITH sess AS (
   SELECT user_id, s_grp, min(ts) AS s_start, max(ts) AS s_end
@@ -231,30 +262,7 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     group.
     """
     e = _t(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    grp = e.select(
-        "user_id",
-        "ts",
-        F.sum(
-            F.when(
-                F.lag("ts").over(wu).isNull()
-                | (
-                    # NTZ has no direct long cast; the UTC-pinned session
-                    # (see _tables.events) makes the intermediate
-                    # timestamp cast a pure epoch read
-                    F.col("ts").cast("timestamp").cast("long")
-                    - F.lag("ts").over(wu).cast("timestamp").cast("long")
-                    > 30 * 60
-                ),
-                1,
-            ).otherwise(0)
-        )
-        .over(wu)
-        .alias("s_grp"),
-    )
-    sess = grp.groupBy("user_id", "s_grp").agg(
-        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
-    )
+    sess = session_bounds(e)
     deltas = sess.select(
         "user_id", F.col("s_start").alias("ts"), F.lit(1).alias("delta")
     ).unionByName(
@@ -373,7 +381,8 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        round((lo + (bucket + 1) * (hi - lo) // 20) / 100.0, 2) AS bucket_hi,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM (
-  SELECT least(19, ((cents - lo) * 20) // (hi - lo)) AS bucket, lo, hi
+  SELECT least(19, ((cents - lo) * 20) // greatest(hi - lo, 1)) AS bucket,
+         lo, hi
   FROM b, mm
 )
 GROUP BY bucket, lo, hi
@@ -399,10 +408,15 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     mm = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # bucket math in exact integer DIV (not double division + floor):
+    # the registry's exact-integer contract, the same shape as
+    # zorder_layout_audit, and the greatest() guard keeps a
+    # single-distinct-value corpus (hi == lo) in bucket 0 instead of
+    # NULLing through the division
     bucketed = o.crossJoin(F.broadcast(mm)).select(
         F.least(
             F.lit(19),
-            ((F.col("cents") - F.col("lo")) * 20) / (F.col("hi") - F.col("lo")),
+            F.expr("(cents - lo) * 20 DIV greatest(hi - lo, 1)"),
         )
         .cast("long")
         .alias("bucket"),
@@ -415,19 +429,10 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bucket",
             F.round(
-                (
-                    F.col("lo")
-                    + F.floor(F.col("bucket") * (F.col("hi") - F.col("lo")) / 20)
-                )
-                / 100.0,
-                2,
+                (F.col("lo") + F.expr("bucket * (hi - lo) DIV 20")) / 100.0, 2
             ).alias("bucket_lo"),
             F.round(
-                (
-                    F.col("lo")
-                    + F.floor((F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / 20)
-                )
-                / 100.0,
+                (F.col("lo") + F.expr("(bucket + 1) * (hi - lo) DIV 20")) / 100.0,
                 2,
             ).alias("bucket_hi"),
             "n_orders",
@@ -439,16 +444,43 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Integer-exact PageRank over the customer-supplier graph
 # ---------------------------------------------------------------------------
 
+# Shared by every graph query over the customer-supplier transaction
+# graph (PageRank here, k-core in relational12): ONE definition of the
+# edge set and of the disjoint long node encoding (2c even / 2s+1 odd),
+# in both the Spark builder and the oracle CTE, so an encoding change
+# cannot drift the queries apart.
+CS_GRAPH_ESET_SQL = """eset AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)"""
+
+
+def cs_graph_edges(o: DataFrame, li: DataFrame) -> DataFrame:
+    """Customer-supplier transaction edges in the long node encoding —
+    every downstream join/groupBy hashes fixed-width longs, and dedup
+    is left to the graph operator's canonicalization (a .distinct()
+    here would just repeat that shuffle)."""
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).cast("long").alias("u"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("v"),
+    )
+
+
+def supplier_side(df: DataFrame, value_col: str) -> DataFrame:
+    """Decode the odd (supplier) nodes of a (v, value) node frame back
+    to (suppkey, value)."""
+    return df.filter(F.col("v") % 2 == 1).select(
+        F.expr("(v - 1) DIV 2").alias("suppkey"), value_col
+    )
+
+
 # Three unrolled diffusion rounds; every quantity is BIGINT floor
 # division, so both engines agree bit-for-bit (a float PageRank's
 # shuffle-order double sums would not). The CTE shape mirrors
 # operators/graph.integer_pagerank exactly: share(u) = (17*m)//(20*d),
 # new m(v) = 150000 + sum over neighbors.
-_PAGERANK_ORACLE = """
-WITH eset AS (
-  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-),
+_PAGERANK_ORACLE = f"""
+WITH {CS_GRAPH_ESET_SQL},
 und AS (
   SELECT 2 * c AS u, 2 * s + 1 AS v FROM eset
   UNION ALL
@@ -499,18 +531,8 @@ def supplier_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    # disjoint LONG node encoding (2c even / 2s+1 odd): every join and
-    # groupBy in the diffusion rounds hashes fixed-width longs instead
-    # of strings; dedup is left to the operator's canonicalization (an
-    # extra .distinct() here would just repeat that shuffle)
-    eset = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        (F.col("o_custkey") * 2).cast("long").alias("u"),
-        (F.col("l_suppkey") * 2 + 1).cast("long").alias("v"),
-    )
-    ranks = integer_pagerank(eset, iters=3)
-    return ranks.filter(F.col("v") % 2 == 1).select(
-        F.expr("(v - 1) DIV 2").alias("suppkey"), "mass"
-    )
+    ranks = integer_pagerank(cs_graph_edges(o, li), iters=3)
+    return supplier_side(ranks, "mass")
 
 
 # ---------------------------------------------------------------------------

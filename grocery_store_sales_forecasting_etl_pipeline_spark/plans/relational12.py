@@ -65,7 +65,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select(
         "doc_id",
         F.explode_outer(shingles_from_tokens(F.col("tk"), 3)).alias("gram"),
-    )
+    ).where(F.col("gram").isNotNull())
+    # ^ explode_outer (not explode) suppresses the InferFiltersFrom
+    # Generate re-inline, and the explicit isNotNull drops the sentinel
+    # row a sub-3-token document would emit — which the oracle's unnest
+    # never produces (same convention as doc_novelty / winnowing)
     return (
         g.groupBy("gram")
         .agg(
@@ -189,11 +193,12 @@ _KCORE_ROUNDS = 3
 
 
 def _kcore_oracle() -> str:
-    head = """
-WITH eset AS (
-  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-),
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational10 import (
+        CS_GRAPH_ESET_SQL,
+    )
+
+    head = f"""
+WITH {CS_GRAPH_ESET_SQL},
 e0 AS (SELECT 2 * c AS u, 2 * s + 1 AS v FROM eset)"""
     rounds = []
     for i in range(_KCORE_ROUNDS):
@@ -242,20 +247,15 @@ def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier_graph_pagerank).
     """
     from grocery_store_sales_forecasting_etl_pipeline_spark.operators.graph import kcore_peel
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational10 import (
+        cs_graph_edges,
+        supplier_side,
+    )
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    # disjoint LONG node encoding (2c even / 2s+1 odd) — same rationale
-    # as supplier_graph_pagerank: long-keyed shuffles, and dedup left
-    # to the operator's canonicalization
-    eset = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        (F.col("o_custkey") * 2).cast("long").alias("u"),
-        (F.col("l_suppkey") * 2 + 1).cast("long").alias("v"),
-    )
-    core = kcore_peel(eset, k=_KCORE_K, rounds=_KCORE_ROUNDS)
-    return core.filter(F.col("v") % 2 == 1).select(
-        F.expr("(v - 1) DIV 2").alias("suppkey"), "degree"
-    )
+    core = kcore_peel(cs_graph_edges(o, li), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return supplier_side(core, "degree")
 
 
 # ---------------------------------------------------------------------------

@@ -115,16 +115,15 @@ def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS (rule, n_violations)",
         "n AS n_checked",
     ).select("rule", "n_checked", "n_violations")
-    extra = base.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(orphans)).select(
-        F.lit("pk_duplicates").alias("rule"),
-        F.col("n").alias("n_checked"),
-        F.col("extra").alias("n_violations"),
-    ).union(
-        base.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(orphans)).select(
-            F.lit("fk_orphans").alias("rule"),
-            F.col("n").alias("n_checked"),
-            F.col("n_orphan").alias("n_violations"),
+    extra = (
+        base.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(orphans))
+        .selectExpr(
+            "stack(2, 'pk_duplicates', extra, 'fk_orphans', n_orphan) "
+            "AS (rule, n_violations)",
+            "n AS n_checked",
         )
+        .select("rule", "n_checked", "n_violations")
     )
     return per_rule.union(extra).select(
         "rule",
@@ -204,28 +203,14 @@ def session_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. The oracle's single global sweep is reproduced exactly,
     including overnight spans attributed to their starting day.
     """
-    e = _t(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    grp = e.select(
-        "user_id",
-        "ts",
-        F.sum(
-            F.when(
-                F.lag("ts").over(wu).isNull()
-                | (
-                    F.col("ts").cast("timestamp").cast("long")
-                    - F.lag("ts").over(wu).cast("timestamp").cast("long")
-                    > 30 * 60
-                ),
-                1,
-            ).otherwise(0)
-        )
-        .over(wu)
-        .alias("sid"),
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational10 import (
+        session_bounds,
     )
-    sess = grp.groupBy("user_id", "sid").agg(
-        F.min("ts").cast("timestamp").cast("long").alias("t0"),
-        F.max("ts").cast("timestamp").cast("long").alias("t1"),
+
+    e = _t(spark, sf_dir, "events")
+    sess = session_bounds(e).select(
+        F.col("s_start").cast("timestamp").cast("long").alias("t0"),
+        F.col("s_end").cast("timestamp").cast("long").alias("t1"),
     )
     pts = sess.select(F.col("t0").alias("t"), F.lit(1).alias("d")).union(
         sess.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))

@@ -106,3 +106,36 @@ def test_key_skew_report_ranks_and_shares(spark, sf_oracle):
     # ppm share consistent with the known 60k-row fact table
     for r in rows:
         assert r.share_ppm == r.n_rows * 1_000_000 // 60_000
+
+
+def test_inverted_index_short_docs_emit_no_null_gram(spark, tmp_path):
+    import duckdb
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import REGISTRY
+
+    # docs shorter than 3 tokens produce NO trigram rows — the
+    # explode_outer sentinel must not become a NULL-gram group (it
+    # would get df >= 2 here and diverge from the oracle's unnest)
+    rows = [
+        (1, "a b", "en", "s", 3),
+        (2, "x", "en", "s", 1),
+        (3, "p q r s", "en", "s", 7),
+        (4, "p q r t", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).withColumn("doc_id", F.col("doc_id").cast("long"))
+    d = tmp_path / "docs"
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    q = REGISTRY["inverted_index_postings"]
+    got = sorted(
+        (r.gram, r.df, r.postings)
+        for r in q.build(spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want == [("p q r", 2, "3,4")]
