@@ -53,7 +53,11 @@ def get_spark(
         # joins under this size auto-broadcast; dims in this engine are
         # region/nation/supplier/part-sized, far below 64 MB
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs driver AND all 32 task slots in ONE JVM — an
+        # 8g heap OOM-killed the SparkContext checkpointing a 58M-edge
+        # graph at the 100x probe while the box sat at 125 GiB free;
+        # size the heap to the machine (override via SPARK_GRAFT_DRIVER_MEM)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
