@@ -347,3 +347,49 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.windowed_counts(
         _t(spark, sf_dir, "events"), window="6 hours", slide="3 hours"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static dimension enrichment
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE = """
+SELECT c.c_nationkey AS nationkey, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("event_dim_enrichment", oracle=_ENRICH_ORACLE, tags=("streaming", "join"))
+def event_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: events enriched with the static customer
+    dimension (user_id = custkey) and rolled up to per-(nation,
+    event_type) counts and exact-cents value sums — the micro-batch
+    dim-enrichment every streaming pipeline starts with
+    (streaming/events.py:enrich_with_dim; stream==batch pinned in
+    tests/test_streaming.py::test_stream_static_enrich_matches_batch).
+
+    Scale notes: the static dim side broadcasts per micro-batch (no
+    stream-side watermark or state, unlike stream-stream joins), so
+    the stream never shuffles on the join key; the rollup carries
+    map-side partials. Values aggregate in exact integer cents — a
+    double sum across a shuffle would be partition-order dependent.
+    """
+    import pyspark.sql.functions as F
+
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = ev.enrich_with_dim(e, F.broadcast(c), on="user_id", how="inner")
+    return joined.groupBy(
+        F.col("c_nationkey").alias("nationkey"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
