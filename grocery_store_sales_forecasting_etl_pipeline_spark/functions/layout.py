@@ -73,3 +73,19 @@ def morton_py(x: int, y: int) -> int:
         return v
 
     return spread(x) | (spread(y) << 1)
+
+
+def scale16_sql(col: str, lo: str, hi: str, dialect: str) -> str:
+    """SQL text range-normalizing an integer expression into [0, 65535]
+    given min/max expressions — the rank/range normalization real
+    Z-order implementations apply per column BEFORE interleaving.
+    Without it a wide dimension owns all the high interleave bits and a
+    narrow dimension (e.g. a 100-value supplier key against a 20k-value
+    part key) never influences file ranges, so no pruning on it.
+    Integer floor division in both dialects; zero-width ranges pin to 0.
+    """
+    div = {"spark": "DIV", "duckdb": "//"}[dialect]
+    return (
+        f"((CAST({col} AS BIGINT) - {lo}) * 65535 "
+        f"{div} greatest({hi} - {lo}, 1))"
+    )

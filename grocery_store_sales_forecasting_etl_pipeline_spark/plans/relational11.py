@@ -16,10 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import (
-    morton_col,
-    morton_sql,
-)
+from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import morton_sql
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
 
@@ -312,57 +309,85 @@ def supplier_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Z-order layout audit
 # ---------------------------------------------------------------------------
 
-_Z_ORACLE = f"""
-WITH z AS (
-  SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
-         {morton_sql('l_partkey', 'l_suppkey', 'duckdb')} AS zv
+def _z_oracle() -> str:
+    from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import (
+        morton_sql,
+        scale16_sql,
+    )
+
+    sx = scale16_sql("pk", "pk_lo0", "pk_hi0", "duckdb")
+    sy = scale16_sql("sk", "sk_lo0", "sk_hi0", "duckdb")
+    return f"""
+WITH r AS (
+  SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk
   FROM lineitem
 ),
-mm AS (SELECT min(zv) AS lo, max(zv) AS hi FROM z),
-b AS (
-  SELECT least(15, ((zv - lo) * 16) // greatest(hi - lo, 1)) AS bucket,
-         pk, sk
-  FROM z, mm
+mm AS (
+  SELECT min(pk) AS pk_lo0, max(pk) AS pk_hi0,
+         min(sk) AS sk_lo0, max(sk) AS sk_hi0
+  FROM r
+),
+z AS (
+  SELECT pk, sk, {morton_sql(sx, sy, "duckdb")} AS zv
+  FROM r, mm
 )
-SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
-       min(pk) AS pk_lo, max(pk) AS pk_hi, min(sk) AS sk_lo, max(sk) AS sk_hi
-FROM b GROUP BY bucket
+SELECT CAST(zv // 268435456 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(pk) AS pk_lo, max(pk) AS pk_hi,
+       min(sk) AS sk_lo, max(sk) AS sk_hi
+FROM z GROUP BY bucket
 """
 
 
-@register("zorder_layout_audit", oracle=_Z_ORACLE, tags=("layout",))
+@register("zorder_layout_audit", oracle=_z_oracle(), tags=("layout",))
 def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morton (Z-order) interleave of (partkey, suppkey) bucketed into
-    16 equi-width key ranges, reporting each bucket's row count and its
-    bounding box in BOTH source dimensions — the audit that shows why a
-    Z-ordered file layout lets min/max statistics prune on either key
-    (the multi-dimensional clustering behind OPTIMIZE ZORDER; the
-    reference's tables cluster only by ingest order).
+    """Morton (Z-order) interleave of RANGE-NORMALIZED (partkey,
+    suppkey) bucketed into 16 fixed z-ranges, reporting each bucket's
+    row count and its bounding box in BOTH source dimensions — the
+    audit that shows why a Z-ordered file layout lets min/max
+    statistics prune on either key (OPTIMIZE ZORDER-style clustering;
+    the reference's tables cluster only by ingest order).
 
-    Scale notes: the interleave is pure bit arithmetic generated from
-    one mask table for both engines (``functions/layout.morton_sql``) —
-    map-only, whole-stage codegen, no UDF. The min/max frame is one
-    broadcast row (no driver collect), bucket math is integer floor
-    division, and the audit aggregate reduces to 16 rows with map-side
-    partials. At 100 TB the same ``zv`` expression is what you'd range
-    -partition the sink by.
+    The per-column range normalization (functions/layout.scale16_sql)
+    is load-bearing: interleaving RAW values lets the wide dimension
+    own every high bit, so a narrow dimension (100 suppliers vs 20k
+    parts) never influences coarse z-ranges and gets NO pruning —
+    measured directly in tests/test_zorder_layout.py against real
+    parquet footer statistics, which also pin the end-to-end write
+    path (repartitionByRange(zv) + sortWithinPartitions).
+
+    Scale notes: the interleave stays pure bit arithmetic from one
+    mask table for both engines — map-only whole-stage codegen after a
+    one-row min/max frame broadcast (no driver collect); because the
+    scaled coordinates span the full 16 bits, bucket boundaries are
+    FIXED (zv DIV 2^28), needing no second aggregation pass. The same
+    zv expression is what you'd range-partition the sink by.
     """
+    from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import (
+        scale16_sql,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    z = li.select(
+    r = li.select(
         F.col("l_partkey").cast("long").alias("pk"),
         F.col("l_suppkey").cast("long").alias("sk"),
-        morton_col("l_partkey", "l_suppkey").alias("zv"),
     )
-    mm = z.agg(F.min("zv").alias("lo"), F.max("zv").alias("hi"))
-    b = z.crossJoin(F.broadcast(mm)).select(
-        F.least(
-            F.lit(15),
-            F.expr("(zv - lo) * 16 DIV greatest(hi - lo, 1)"),
-        ).cast("long").alias("bucket"),
+    mm = r.agg(
+        F.min("pk").alias("pk_lo0"),
+        F.max("pk").alias("pk_hi0"),
+        F.min("sk").alias("sk_lo0"),
+        F.max("sk").alias("sk_hi0"),
+    )
+    sx = scale16_sql("pk", "pk_lo0", "pk_hi0", "spark")
+    sy = scale16_sql("sk", "sk_lo0", "sk_hi0", "spark")
+    z = r.crossJoin(F.broadcast(mm)).select(
         "pk",
         "sk",
+        F.expr(morton_sql(sx, sy, "spark")).alias("zv"),
     )
-    return b.groupBy("bucket").agg(
+    return z.groupBy(
+        F.expr("zv DIV 268435456").cast("long").alias("bucket")
+    ).agg(
         F.count("*").cast("long").alias("n_rows"),
         F.min("pk").alias("pk_lo"),
         F.max("pk").alias("pk_hi"),

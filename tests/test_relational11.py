@@ -143,10 +143,12 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_oracle):
 
     rows = zorder_layout_audit(spark, sf_oracle).collect()
     assert rows and sum(r.n_rows for r in rows) == 60000
-    # z-bucketing must narrow the partkey range: every bucket's partkey
-    # span is a strict subset of the global span (the pruning property)
-    glo = min(r.pk_lo for r in rows)
-    ghi = max(r.pk_hi for r in rows)
-    assert all(
-        (r.pk_hi - r.pk_lo) < (ghi - glo) for r in rows
-    )
+    # range-normalized z-bucketing must narrow BOTH dimensions: every
+    # bucket's box is a strict subset of the global span (the pruning
+    # property a raw interleave fails for the narrow suppkey dimension)
+    pk_glo = min(r.pk_lo for r in rows)
+    pk_ghi = max(r.pk_hi for r in rows)
+    sk_glo = min(r.sk_lo for r in rows)
+    sk_ghi = max(r.sk_hi for r in rows)
+    assert all((r.pk_hi - r.pk_lo) < (pk_ghi - pk_glo) for r in rows)
+    assert all((r.sk_hi - r.sk_lo) < (sk_ghi - sk_glo) for r in rows)
