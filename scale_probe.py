@@ -47,6 +47,11 @@ sys.path.insert(0, str(REPO))
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", str(REPO / ".scale_probe" / "sf1"))
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+# SHIFT_ENTITIES=1: also shift custkey/suppkey per copy so the
+# customer-supplier GRAPH grows in nodes (not just edge density) —
+# breaks dim-FK validity by design, so use it only for the graph-family
+# probe (BASELINE.md "node-growth graph probe"; output dir sf10_graph)
+SHIFT_ENTITIES = os.environ.get("SPARK_GRAFT_SCALE_SHIFT_ENTITIES", "") == "1"
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
 KEY_SHIFT = 100_000_000
@@ -77,16 +82,23 @@ def generate(spark) -> str:
                 str(out / f"{t}.parquet")
             )
     shift = F.col("__copy").cast("long") * KEY_SHIFT
+    entity_shift = F.col("__copy").cast("long") * 10_000_000
     if "orders" in todo:
         df = _explode_copies(spark.read.parquet(f"{SRC}/orders.parquet"), COPIES)
-        df.withColumn("o_orderkey", F.col("o_orderkey") + shift).drop("__copy").repartition(
-            8
-        ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+        df = df.withColumn("o_orderkey", F.col("o_orderkey") + shift)
+        if SHIFT_ENTITIES:
+            df = df.withColumn("o_custkey", F.col("o_custkey") + entity_shift)
+        df.drop("__copy").repartition(8).write.mode("overwrite").parquet(
+            str(out / "orders.parquet")
+        )
     if "lineitem" in todo:
         df = _explode_copies(spark.read.parquet(f"{SRC}/lineitem.parquet"), COPIES)
-        df.withColumn("l_orderkey", F.col("l_orderkey") + shift).drop("__copy").repartition(
-            16
-        ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+        df = df.withColumn("l_orderkey", F.col("l_orderkey") + shift)
+        if SHIFT_ENTITIES:
+            df = df.withColumn("l_suppkey", F.col("l_suppkey") + entity_shift)
+        df.drop("__copy").repartition(16).write.mode("overwrite").parquet(
+            str(out / "lineitem.parquet")
+        )
     if "events" in todo:
         df = _explode_copies(spark.read.parquet(f"{SRC}/events.parquet"), COPIES)
         (
