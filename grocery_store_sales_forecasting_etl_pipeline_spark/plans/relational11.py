@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import morton_sql
+from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import morton_sql, scale16_sql
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
 
@@ -310,11 +310,6 @@ def supplier_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _z_oracle() -> str:
-    from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import (
-        morton_sql,
-        scale16_sql,
-    )
-
     sx = scale16_sql("pk", "pk_lo0", "pk_hi0", "duckdb")
     sy = scale16_sql("sk", "sk_lo0", "sk_hi0", "duckdb")
     return f"""
@@ -363,10 +358,6 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXED (zv DIV 2^28), needing no second aggregation pass. The same
     zv expression is what you'd range-partition the sink by.
     """
-    from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import (
-        scale16_sql,
-    )
-
     li = _t(spark, sf_dir, "lineitem")
     r = li.select(
         F.col("l_partkey").cast("long").alias("pk"),

@@ -27,6 +27,20 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+def _default_driver_mem() -> str:
+    """Half of physical RAM in GiB, clamped to [4g, 32g].
+
+    Keeps the single-JVM local heap inside RAM on small boxes while giving
+    the 100x scale probe enough headroom on large ones.
+    """
+    try:
+        ram_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gib = max(4, min(32, ram_bytes // (2 * 1024**3)))
+    except (ValueError, OSError, AttributeError):
+        gib = 8
+    return f"{gib}g"
+
+
 def get_spark(
     app_name: str = "grocery-engine",
     master: str | None = None,
@@ -56,8 +70,9 @@ def get_spark(
         # local mode runs driver AND all 32 task slots in ONE JVM — an
         # 8g heap OOM-killed the SparkContext checkpointing a 58M-edge
         # graph at the 100x probe while the box sat at 125 GiB free;
-        # size the heap to the machine (override via SPARK_GRAFT_DRIVER_MEM)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # size the heap to the machine: half of physical RAM, capped at
+        # 32g, floored at 4g (override via SPARK_GRAFT_DRIVER_MEM)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -31,8 +31,10 @@ Usage:
     SPARK_GRAFT_SF_DIR=$(python scale_probe.py) \
         SPARK_GRAFT_BENCH_QUERIES=... python bench.py
 
-Output dir: $SPARK_GRAFT_SCALE_DIR (default /root/repo/.scale_probe/sf1;
-gitignored). Generation is skipped when every table already exists.
+Output dir: $SPARK_GRAFT_SCALE_DIR (default /root/repo/.scale_probe/sf{COPIES},
+or sf{COPIES}_graph in SHIFT_ENTITIES mode; gitignored). Generation is
+skipped when every table already exists; a `.probe_mode` marker refuses
+reuse of a dir generated under the other mode.
 """
 
 from __future__ import annotations
@@ -45,13 +47,20 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
-OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", str(REPO / ".scale_probe" / "sf1"))
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 # SHIFT_ENTITIES=1: also shift custkey/suppkey per copy so the
 # customer-supplier GRAPH grows in nodes (not just edge density) —
 # breaks dim-FK validity by design, so use it only for the graph-family
-# probe (BASELINE.md "node-growth graph probe"; output dir sf10_graph)
+# probe (BASELINE.md "node-growth graph probe")
 SHIFT_ENTITIES = os.environ.get("SPARK_GRAFT_SCALE_SHIFT_ENTITIES", "") == "1"
+# The default dir is mode-dependent so shifted (FK-breaking) data can
+# never be silently reused by a default-mode run or vice versa; a marker
+# file double-checks explicit SPARK_GRAFT_SCALE_DIR overrides too.
+# Naming is SF-equivalent (SRC is sf0.1, so COPIES=10 -> sf1, 100 -> sf10).
+_SF_LABEL = f"sf{COPIES * 0.1:g}"
+_DEFAULT_OUT = REPO / ".scale_probe" / (_SF_LABEL + ("_graph" if SHIFT_ENTITIES else ""))
+OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", str(_DEFAULT_OUT))
+_MODE = "shift_entities" if SHIFT_ENTITIES else "default"
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
 KEY_SHIFT = 100_000_000
@@ -71,6 +80,17 @@ def generate(spark) -> str:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = Path(OUT)
     out.mkdir(parents=True, exist_ok=True)
+    marker = out / ".probe_mode"
+    if marker.exists():
+        prior = marker.read_text().strip()
+        if prior != _MODE:
+            raise SystemExit(
+                f"{out} was generated in mode '{prior}' but this run is mode "
+                f"'{_MODE}'; set SPARK_GRAFT_SCALE_DIR to a fresh dir (the "
+                "two modes produce incompatible FK structure)"
+            )
+    else:
+        marker.write_text(_MODE + "\n")
     todo = [
         t
         for t in (*DIMS, "orders", "lineitem", "events", "documents", "embeddings")

@@ -83,9 +83,8 @@ def test_zorder_write_bounds_both_dimensions(spark, sf_oracle, tmp_path):
     ctrl = tmp_path / "unsorted"
     base.repartition(8).write.parquet(str(ctrl))
     ctrl_files = sorted(glob.glob(f"{ctrl}/part-*.parquet"))
-    ctrl_spans = [
-        _file_bounds(f, ["l_partkey"])[1]["l_partkey"]
-        - _file_bounds(f, ["l_partkey"])[0]["l_partkey"]
-        for f in ctrl_files
-    ]
+    ctrl_spans = []
+    for f in ctrl_files:
+        lo, hi = _file_bounds(f, ["l_partkey"])
+        ctrl_spans.append(hi["l_partkey"] - lo["l_partkey"])
     assert sum(ctrl_spans) / len(ctrl_spans) > 0.95 * pk_span, ctrl_spans
