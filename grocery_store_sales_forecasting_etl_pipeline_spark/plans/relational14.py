@@ -1,0 +1,316 @@
+"""Round-5 additions, sixth batch: reshaping + multi-level aggregation
+surface — pivot, rollup/cube with grouping ids, unpivot (melt), and the
+ranking-window family (ntile / percent_rank / cume_dist).
+
+The reference's aggregates are flat single-level groupBys
+(gold_aggregation.py.py:21-38); a user migrating a reporting workload
+also needs the reshaping shapes around them. All money math follows the
+repo's exact-cents convention (CAST(round(x*100) AS BIGINT)) so the
+driver's order-insensitive value hash is bit-stable in both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Pivot: order-year x priority revenue matrix
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PIVOT_COLS = ("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+
+_PIVOT_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       {cols}
+FROM orders
+GROUP BY order_year
+""".format(
+    cols=",\n       ".join(
+        "CAST(coalesce(sum(CASE WHEN o_orderpriority = '{v}' THEN "
+        "CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) "
+        "AS {c}".format(v=v, c=c)
+        for v, c in zip(_PRIORITIES, _PIVOT_COLS)
+    )
+)
+
+
+@register("priority_revenue_pivot", oracle=_PIVOT_ORACLE, tags=("agg", "pivot"))
+def priority_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matrix: one row per order year, one column per order
+    priority (``groupBy().pivot()`` — long-to-wide reshaping the
+    reference's flat gold aggregates lack).
+
+    Scale notes: the pivot VALUES are passed explicitly, which (a) skips
+    the extra distinct-collect job Spark otherwise runs to discover
+    them, and (b) fixes the output schema at plan time — mandatory on a
+    shared cluster where a stray new category would silently widen the
+    table. The plan is a single hash aggregate over (year, priority)
+    pivoted map-side; missing cells are filled with literal 0 so the
+    driver hash never sees engine-specific NULL-vs-0 divergence.
+    """
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("order_year")
+        .pivot("priority", list(_PRIORITIES))
+        .agg(F.sum("cents"))
+    )
+    out = wide.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(c)
+            for v, c in zip(_PRIORITIES, _PIVOT_COLS)
+        ],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rollup with grouping ids: status -> priority subtotal hierarchy
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("status_priority_rollup", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE aggregation: per (status, priority)
+    detail, per-status subtotal, and grand total, tagged with
+    ``grouping_id()`` so subtotal rows are distinguishable from genuine
+    NULL groups (Spark's bitmask matches DuckDB's ``GROUPING(a, b)``
+    bit-for-bit: detail=0, status subtotal=1, grand=3).
+
+    Scale notes: ROLLUP expands each input row into (levels+1) grouping
+    tuples via the Expand operator BEFORE the shuffle, but partial
+    aggregation runs on the expanded stream map-side, so the shuffle
+    carries one partial state per (group tuple, mapper) — not 3x the
+    fact rows. Versus running 3 separate groupBys: one scan, one
+    shuffle, identical results.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .rollup("status", "priority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select("status", "priority", "gid", "cents", "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube: year x status, all four grouping combinations
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       o_orderstatus AS status,
+       CAST(GROUPING(year(o_orderdate), o_orderstatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+"""
+
+
+@register("year_status_cube", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def year_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-classification: (year, status), year-only, status-only,
+    and grand-total aggregates from one scan (``cube()``), the OLAP
+    cross-tab backing "slice by anything" dashboards.
+
+    Scale notes: cube over d dimensions expands 2^d tuples per row —
+    fine at d=2, ruinous at d>4 (the Expand blowup is exponential); for
+    wide dimension sets, compute the detail grain once and derive
+    higher aggregates from it (the incremental_agg_merge pattern)
+    instead of cubing the fact table. grouping_id disambiguates NULL
+    data from subtotal rows exactly as in status_priority_rollup.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .cube("order_year", "status")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select("order_year", "status", "gid", "cents", "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): wide monthly metrics -> long (month, metric, value)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders GROUP BY month
+)
+SELECT month, metric, value FROM (
+  SELECT month, 'revenue_cents' AS metric, revenue_cents AS value FROM wide
+  UNION ALL
+  SELECT month, 'n_orders', n_orders FROM wide
+  UNION ALL
+  SELECT month, 'n_customers', n_customers FROM wide
+)
+"""
+
+
+@register("monthly_metrics_unpivot", oracle=_UNPIVOT_ORACLE, tags=("reshape",))
+def monthly_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt: a per-month metrics frame (revenue, order
+    count, distinct customers) unpivoted to (month, metric, value) rows
+    — the inverse reshaping of priority_revenue_pivot, feeding
+    metric-as-data sinks (time-series stores, generic alerting tables).
+
+    Scale notes: ``DataFrame.unpivot`` is a map-only Expand (k output
+    rows per input row, no shuffle, no UDF); the only shuffle here is
+    the upstream monthly aggregate. All three metrics are cast to one BIGINT
+    value column — unpivot requires a common type, and widening to
+    string would break the driver's numeric rendering.
+    """
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_custkey",
+        )
+        .groupBy("month")
+        .agg(
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["month"],
+        values=["revenue_cents", "n_orders", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking windows: ntile / percent_rank / cume_dist over customer spend
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY segment, custkey
+),
+ranked AS (
+  SELECT segment, custkey, spend_cents,
+         CAST(ntile(10) OVER w AS BIGINT) AS decile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume_p
+  FROM spend
+  WINDOW w AS (PARTITION BY segment ORDER BY spend_cents, custkey)
+)
+SELECT segment, decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(spend_cents) AS BIGINT) AS decile_cents,
+       CAST(min(spend_cents) AS BIGINT) AS floor_cents,
+       round(min(pct_rank), 6) AS min_pct_rank,
+       round(max(cume_p), 6) AS max_cume_p
+FROM ranked
+GROUP BY segment, decile
+"""
+
+
+@register("customer_spend_deciles", oracle=_DECILE_ORACLE, tags=("window", "rank"))
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment spend deciles: ``ntile(10)`` buckets each
+    segment's customers by total order spend, then per-decile size,
+    revenue mass, and entry threshold — plus ``percent_rank`` /
+    ``cume_dist`` boundary values, completing the ranking-window family
+    (rank/dense_rank/row_number are covered by the top-k queries).
+
+    Determinism: the window orders by (spend_cents, custkey) — custkey
+    is unique, so tile assignment and both rank fractions are exact and
+    identical in both engines (percent_rank=(rank-1)/(n-1) and
+    cume_dist=rank/n are single IEEE divisions of the same integers;
+    round(x, 6) at the boundary is belt-and-braces).
+
+    Scale notes: the per-segment window is |segments|-way parallel —
+    fine for balanced segments, a straggler when one segment dominates.
+    At that point compute tile boundaries from the rank structure
+    instead (the winsorized_price_stats two-pass pattern) and map-join
+    them back; identical output, no single-task sort of the big
+    segment. The final groupBy((segment, decile)) is a 50-row result —
+    AQE coalesces it to one partition.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(
+            F.broadcast(
+                c.select(
+                    F.col("c_custkey").alias("custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ),
+            F.col("o_custkey") == F.col("custkey"),
+        )
+        .groupBy("segment", "custkey")
+        .agg(F.sum("cents").cast("long").alias("spend_cents"))
+    )
+    w = Window.partitionBy("segment").orderBy("spend_cents", "custkey")
+    ranked = spend.select(
+        "segment",
+        "custkey",
+        "spend_cents",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_p"),
+    )
+    return ranked.groupBy("segment", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend_cents").cast("long").alias("decile_cents"),
+        F.min("spend_cents").cast("long").alias("floor_cents"),
+        F.round(F.min("pct_rank"), 6).alias("min_pct_rank"),
+        F.round(F.max("cume_p"), 6).alias("max_cume_p"),
+    )

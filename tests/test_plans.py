@@ -214,3 +214,37 @@ def test_simhash32_no_repartition_when_already_wide(spark, sf_oracle):
     plan2 = simhash32(narrow, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     # under-split input still gets widened
     assert "RoundRobinPartitioning" in plan2, plan2
+
+
+def test_rollup_cube_single_exchange_with_mapside_partials(spark, sf_oracle):
+    """ROLLUP/CUBE must be ONE aggregation: the Expand feeds map-side
+    partial aggregates, so the shuffle carries one partial state per
+    grouping tuple — not three separate groupBy jobs over the fact."""
+    for name in ("status_priority_rollup", "year_status_cube"):
+        plan = _simple(spark, name, sf_oracle)
+        assert plan.count("Expand") == 1, (name, plan)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        # partial agg sits BELOW the exchange (printed after in simple mode)
+        assert plan.index("partial_sum") > plan.index("Exchange"), (name, plan)
+
+
+def test_unpivot_is_map_only_expand(spark, sf_oracle):
+    """The melt itself must add no shuffle: Expand is the TOP node above
+    the monthly aggregate (its only exchanges are the agg's own)."""
+    plan = _simple(spark, "monthly_metrics_unpivot", sf_oracle)
+    assert plan.count("Expand") == 1, plan
+    assert plan.index("Expand") < plan.index("HashAggregate"), plan
+
+
+def test_pivot_fixed_values_single_scan(spark, sf_oracle):
+    """Explicit pivot values fix the schema at plan time: one scan, a
+    pivotfirst aggregate, and no second job to discover categories."""
+    plan = _simple(spark, "priority_revenue_pivot", sf_oracle)
+    assert plan.count("FileScan") == 1, plan
+    assert "pivotfirst" in plan, plan
+
+
+def test_decile_window_broadcast_dim_no_fact_sort_merge(spark, sf_oracle):
+    plan = _simple(spark, "customer_spend_deciles", sf_oracle)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    assert "ntile" in plan, plan
