@@ -314,3 +314,120 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("pct_rank"), 6).alias("min_pct_rank"),
         F.round(F.max("cume_p"), 6).alias("max_cume_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy-hitter audit (sketch-family completion)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+
+# The d hash functions are d DISJOINT 6-hex windows of ONE md5 digest
+# (md5 bits are uniform and independent across positions; one hash per
+# row instead of d) — the same slicing convention as the simhash and
+# byte-histogram oracles in textops/mediaops.
+_CMS_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey AS custkey, md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders
+),
+rows_ AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS row_i),
+cells AS (
+  SELECT row_i,
+         ('0x' || substr(h, CAST(6 * row_i + 1 AS INT), 6))::BIGINT
+           % {_CMS_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM base CROSS JOIN rows_
+  GROUP BY row_i, bucket
+),
+exact AS (
+  SELECT custkey, CAST(count(*) AS BIGINT) AS exact_n
+  FROM base GROUP BY custkey
+  ORDER BY exact_n DESC, custkey LIMIT 20
+),
+probe AS (
+  SELECT e.custkey, e.exact_n, r.row_i,
+         ('0x' || substr(md5(CAST(e.custkey AS VARCHAR)),
+             CAST(6 * r.row_i + 1 AS INT), 6))::BIGINT % {_CMS_W}
+           AS bucket
+  FROM exact e CROSS JOIN rows_ r
+)
+SELECT p.custkey, p.exact_n,
+       CAST(min(c.cnt) AS BIGINT) AS cm_est,
+       CAST(min(c.cnt) - p.exact_n AS BIGINT) AS overcount
+FROM probe p JOIN cells c ON c.row_i = p.row_i AND c.bucket = p.bucket
+GROUP BY p.custkey, p.exact_n
+"""
+
+
+def _cms_cells(key):
+    """d (row_i, bucket) structs from ONE md5(key): bucket_i is hex
+    window [6i+1, 6i+6] of the digest mod w — bit-exact in both engines
+    (the repo's cross-engine hashing idiom; see relational6 hash_sample,
+    mediaops byte-histogram slicing)."""
+    h = F.md5(key.cast("string"))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("row_i"),
+                (
+                    F.conv(F.substring(h, 6 * i + 1, 6), 16, 10).cast("long")
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+
+
+@register("heavy_hitter_cms_audit", oracle=_CMS_ORACLE, tags=("agg", "sketch"))
+def heavy_hitter_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation audited against exact
+    counts: a d=4 x w=512 CM sketch of per-customer order counts, probed
+    at the exact top-20 keys; ``overcount`` (always >= 0 — CM never
+    underestimates) shows the collision error the w sizing buys.
+
+    Completes the mergeable-sketch algebra next to ``hll_distinct_audit``
+    (distinct counts) and ``quantile_bracket_audit`` (quantiles): cell
+    counts are LINEAR in the input, so per-partition / per-day sketches
+    merge by cell-wise addition — the "persist sketches, not rescans"
+    pattern for frequency questions at 100 TB.
+
+    Scale notes: construction is a map-only Expand (d cells per row)
+    feeding map-side partial aggregation, so the shuffle carries at most
+    d*w partial cells PER MAPPER — bounded regardless of input rows or
+    key cardinality, exactly the property that makes CM viable where the
+    exact per-key aggregate (whose state is |keys|) is not. The probe
+    stage broadcasts both tiny sides (<= d*w sketch cells, 20*d probe
+    rows). The exact top-20 here is the AUDIT harness, not the operator.
+    """
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(F.col("o_custkey").alias("custkey"))
+
+    cells = (
+        base.select(F.explode(_cms_cells(F.col("custkey"))).alias("c"))
+        .groupBy(F.col("c.row_i").alias("row_i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+    exact = (
+        base.groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("custkey"))
+        .limit(20)
+    )
+    probe = exact.select(
+        "custkey",
+        "exact_n",
+        F.explode(_cms_cells(F.col("custkey"))).alias("c"),
+    ).select("custkey", "exact_n", F.col("c.row_i").alias("row_i"), F.col("c.bucket").alias("bucket"))
+
+    return (
+        probe.join(F.broadcast(cells), ["row_i", "bucket"])
+        .groupBy("custkey", "exact_n")
+        .agg(
+            F.min("cnt").cast("long").alias("cm_est"),
+            (F.min("cnt") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+    )

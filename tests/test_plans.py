@@ -248,3 +248,15 @@ def test_decile_window_broadcast_dim_no_fact_sort_merge(spark, sf_oracle):
     plan = _simple(spark, "customer_spend_deciles", sf_oracle)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     assert "ntile" in plan, plan
+
+
+def test_cms_sketch_bounded_shuffle_broadcast_probe(spark, sf_oracle):
+    """CM sketch: the cell build is a map-only Generate feeding map-side
+    partials (shuffle state <= d*w cells/mapper), the probe side finds
+    top-k distributed (TakeOrderedAndProject), and the tiny sketch is
+    broadcast — no sort-merge join anywhere."""
+    plan = _simple(spark, "heavy_hitter_cms_audit", sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -31,3 +31,44 @@ def test_approx_count_distinct_mergeable(spark, sf_oracle):
     global_approx = li.select(F.approx_count_distinct("l_orderkey")).first()[0]
     exact = li.select(F.countDistinct("l_orderkey")).first()[0]
     assert abs(global_approx - exact) / exact < 0.1
+
+
+def test_cms_never_underestimates_and_is_linear(spark, sf_oracle):
+    """Count-min guarantees: (1) est >= exact for every probed key;
+    (2) cell counts are LINEAR — the sketch of two disjoint halves,
+    merged by cell-wise addition, equals the sketch of the union. The
+    second property is what makes per-partition / per-day sketches
+    mergeable at 100 TB."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational14 import (
+        heavy_hitter_cms_audit,
+    )
+
+    rows = heavy_hitter_cms_audit(spark, sf_oracle).collect()
+    assert len(rows) == 20
+    assert all(r["overcount"] >= 0 for r in rows), rows
+    assert all(r["cm_est"] >= r["exact_n"] for r in rows), rows
+
+    # linearity: sketch(half A) + sketch(half B) == sketch(A union B)
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational14 import (
+        _cms_cells,
+    )
+
+    o = _t(spark, sf_oracle, "orders").select(F.col("o_custkey").alias("custkey"))
+    cell_arr = _cms_cells(F.col("custkey"))
+
+    def sketch(df):
+        return {
+            (r["row_i"], r["bucket"]): r["cnt"]
+            for r in df.select(F.explode(cell_arr).alias("c"))
+            .groupBy(F.col("c.row_i").alias("row_i"), F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    half_a = o.filter(F.col("custkey") % 2 == 0)
+    half_b = o.filter(F.col("custkey") % 2 == 1)
+    merged: dict = {}
+    for part in (sketch(half_a), sketch(half_b)):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == sketch(o)
