@@ -133,3 +133,33 @@ def test_format_pluggable_sink(spark, sf_smoke, tmp_path):
     # explicit fmt always wins over auto-detection
     assert sinks.resolve_format(region, "parquet") == "parquet"
     assert sinks.resolve_format(region, "delta") == "delta"
+
+
+def test_orc_sink_roundtrip_with_pushdown(spark, sf_smoke, tmp_path):
+    """ORC is the second columnar format the pluggable sinks support out
+    of the box (fmt="orc", no extra packages): values round-trip exactly,
+    and the ORC reader gets the same predicate pushdown + column pruning
+    the parquet scan does."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources.sinks import write_path
+
+    orders = _t(spark, sf_smoke, "orders")
+    target = str(tmp_path / "orders_orc")
+    write_path(orders, target, fmt="orc")
+
+    back = spark.read.orc(target)
+    assert back.count() == orders.count()
+    # exact value parity through the format round-trip
+    key = lambda r: (r.o_orderkey,)
+    assert sorted(back.collect(), key=key) == sorted(orders.collect(), key=key)
+
+    plan = (
+        back.filter(F.col("o_orderkey") == 1)
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)" in plan, plan
+    # column pruning: only the two projected columns reach the reader
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan, plan
