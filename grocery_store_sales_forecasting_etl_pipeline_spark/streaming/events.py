@@ -182,7 +182,17 @@ def sessionize(
 ) -> DataFrame:
     """Per-user session aggregation with a dynamic-gap session window:
     events closer than ``gap`` merge into one session. Works identically
-    on static frames (the plans/ oracle checks it in batch mode)."""
+    on static frames (the plans/ oracle checks it in batch mode).
+
+    Scale notes (measured, BASELINE.md streaming drain probe): the
+    streaming path is bounded by session-STATE ops, not event volume —
+    budget ~100k state get/puts per second per 32-core node, and note
+    that neither the RocksDB provider, smaller micro-batches, nor
+    ``sessionWindow.merge.sessions.in.local.partition`` moves that bound
+    when sessions are near-singleton. Drain BACKFILLS through this same
+    function in batch mode (30× faster at 10M near-singleton sessions);
+    reserve the streaming form for the incremental tail where per-trigger
+    event counts are modest and live state stays small."""
     df = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         df.groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
