@@ -416,3 +416,93 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-agreement audit (embedding-space label quality)
+# ---------------------------------------------------------------------------
+
+_LABEL_AGREE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label
+  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 10000
+),
+scored AS (
+  SELECT q.query_id, q.query_label, e.label AS neighbor_label,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.query_vec AS DOUBLE[])), 6)
+           AS cosine_sim,
+         e.vec_id AS neighbor_id
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, query_label, neighbor_label
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rn
+    FROM scored
+  )
+  WHERE rn <= 10
+),
+per_query AS (
+  SELECT query_id, query_label,
+         CAST(sum(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_agree
+  FROM topk GROUP BY query_id, query_label
+)
+SELECT query_label AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(n_agree) AS BIGINT) AS n_agree_total,
+       CAST(sum(CASE WHEN n_agree < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_query GROUP BY query_label
+"""
+
+
+@register("knn_label_agreement", oracle=_LABEL_AGREE_ORACLE, tags=("similarity", "quality"))
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-quality audit: for a deterministic 1-in-25
+    sample of vectors (capped at a fixed 400-query panel), how many of the 10 exact nearest neighbors carry
+    the same label — per-label agreement totals plus a count of FLAGGED
+    samples (majority of neighbors disagree), the standard k-NN screen
+    for mislabeled / out-of-distribution training examples.
+
+    Scale notes: reuses brute_force_knn's broadcast-queries single
+    corpus scan (transient |queries| x |corpus| similarity stream,
+    map-side top-k heap per query); the label join back to queries is a
+    broadcast of the sampled ids only. At 100 TB the same audit runs
+    over the IVF index (ivf_ann_topk) instead of the exact scan — the
+    agreement statistic is identical in expectation; this exact form IS
+    the recall oracle for that cheaper path. All outputs are integer
+    counts, so the hash is float-free.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    # fixed-size probe panel (<=400 queries at ANY corpus scale): the
+    # audit stays LINEAR in the corpus; widen the panel deliberately,
+    # not implicitly with data growth
+    queries = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 10000))
+    knn = sim.brute_force_knn(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    q_labels = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))
+    )
+    n_labels = F.broadcast(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label"))
+    )
+    per_query = (
+        knn.join(q_labels, "query_id")
+        .join(n_labels, "neighbor_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.sum(
+                F.when(F.col("neighbor_label") == F.col("query_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    return per_query.groupBy(F.col("query_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_agree").cast("long").alias("n_agree_total"),
+        F.sum(F.when(F.col("n_agree") < 5, 1).otherwise(0)).cast("long").alias("n_flagged"),
+    )
