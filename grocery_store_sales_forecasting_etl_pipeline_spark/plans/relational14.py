@@ -494,9 +494,10 @@ def nation_customer_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     in double, so the float crosses engines bit-identically.
 
     Scale notes: one fact scan feeds all three grains — the per-order
-    frame is derived once (broadcast dim join), then three partial-agg
-    shuffles over compact (nation, ...) keys; 25-row output joins are
-    broadcast. The struct-max argmax is a single-pass aggregate (no
+    frame is derived once (broadcast dim join) and localCheckpointed so
+    the three branches read the materialized frame instead of each
+    re-running the scan+join; then three partial-agg shuffles over
+    compact (nation, ...) keys and broadcast 25-row output joins. The struct-max argmax is a single-pass aggregate (no
     window, no sort) — the shape to prefer over row_number()-per-group
     when only the winner is needed. The exact-percentile median holds
     per-group values in aggregation state (fine for |nations| groups;
@@ -517,6 +518,12 @@ def nation_customer_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    # three aggregation grains consume this frame; Catalyst has no
+    # cross-branch subplan reuse, so without materialization each branch
+    # would redo the scan + dim join (3x the dominant cost).
+    # localCheckpoint, not persist: a persist here would poison identical
+    # later builds via the plan-matching CacheManager (r5 bench learning)
+    ord_ = ord_.localCheckpoint(eager=False)
 
     spend = ord_.groupBy("nationkey", "custkey").agg(
         F.sum("cents").cast("long").alias("cents")

@@ -470,8 +470,9 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: reuses brute_force_knn's broadcast-queries single
     corpus scan (transient |queries| x |corpus| similarity stream,
-    map-side top-k heap per query); the label join back to queries is a
-    broadcast of the sampled ids only. At 100 TB the same audit runs
+    map-side top-k heap per query); the neighbor-label join broadcasts
+    the bounded (panel × k)-row neighbor list against the corpus label
+    column — never the corpus itself. At 100 TB the same audit runs
     over the IVF index (ivf_ann_topk) instead of the exact scan — the
     agreement statistic is identical in expectation; this exact form IS
     the recall oracle for that cheaper path. All outputs are integer
@@ -486,12 +487,14 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_labels = F.broadcast(
         queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))
     )
-    n_labels = F.broadcast(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label"))
+    # neighbor labels come from the full corpus — the GROWING side, so
+    # the bounded (panel x k)-row knn frame is the broadcast side and the
+    # corpus label column streams through map-side
+    n_labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label")
     )
     per_query = (
-        knn.join(q_labels, "query_id")
-        .join(n_labels, "neighbor_id")
+        n_labels.join(F.broadcast(knn.join(q_labels, "query_id")), "neighbor_id")
         .groupBy("query_id", "query_label")
         .agg(
             F.sum(

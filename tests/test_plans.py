@@ -260,3 +260,26 @@ def test_cms_sketch_bounded_shuffle_broadcast_probe(spark, sf_oracle):
     assert plan.count("BroadcastExchange") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_argmax_three_grains_share_one_materialized_scan(spark, sf_oracle):
+    """nation_customer_argmax: the per-order frame is localCheckpointed,
+    so the three aggregation branches read the materialized RDD — the
+    final plan contains NO parquet re-scan per branch (A/B: 4.8 -> 2.3s
+    at sf10 when this landed)."""
+    plan = _simple(spark, "nation_customer_argmax", sf_oracle)
+    assert "FileScan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_label_agreement_broadcasts_panel_not_corpus(spark, sf_oracle):
+    """The neighbor-label join must broadcast the bounded (panel x k)
+    neighbor list, never the growing corpus label column: the corpus
+    side streams map-side through the BroadcastHashJoin."""
+    plan = _simple(spark, "knn_label_agreement", sf_oracle)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    # the UNFILTERED corpus (vec_id, label) scan is the streamed side of
+    # the top join: it appears textually BEFORE any BroadcastExchange,
+    # while every broadcast subtree carries the bounded panel filter
+    corpus_scan = plan.index("ReadSchema: struct<vec_id:bigint,label:int>")
+    assert corpus_scan < plan.index("BroadcastExchange"), plan
