@@ -1,0 +1,294 @@
+"""Round-5 additions, statistical-audit batch: autocorrelation of the
+weekly revenue series, a contingency-table independence audit, and
+per-nation Gini concentration — the distribution-diagnostics layer over
+the same facts the reporting queries aggregate.
+
+All three follow the repo's exact-sufficient-statistics discipline: every
+accumulation is BIGINT (floor-dollar scaling where squares would overflow
+cents), and floats appear only as ONE closed-form expression at the
+output boundary, so both engines evaluate the identical IEEE expression
+tree over identical integers and the driver hash is bit-stable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Weekly revenue autocorrelation (ACF lags 1..4)
+# ---------------------------------------------------------------------------
+
+# floor-dollars: weekly cents sums are exact BIGINT, then DIV 100 keeps
+# Σx² for a ~350-point series safely inside BIGINT (cents² would not).
+_ACF_LAGS = (1, 2, 3, 4)
+
+_ACF_ORACLE = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS dollars
+  FROM orders GROUP BY week_start
+),
+led AS (
+  SELECT dollars AS x,
+         lead(dollars, 1) OVER w AS y1,
+         lead(dollars, 2) OVER w AS y2,
+         lead(dollars, 3) OVER w AS y3,
+         lead(dollars, 4) OVER w AS y4
+  FROM weekly WINDOW w AS (ORDER BY week_start)
+),
+pairs AS (
+  SELECT 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+  UNION ALL SELECT 2, x, y2 FROM led WHERE y2 IS NOT NULL
+  UNION ALL SELECT 3, x, y3 FROM led WHERE y3 IS NOT NULL
+  UNION ALL SELECT 4, x, y4 FROM led WHERE y4 IS NOT NULL
+),
+stats AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS acf
+FROM stats
+"""
+
+
+@register("weekly_revenue_acf", oracle=_ACF_ORACLE, tags=("timeseries", "stats"))
+def weekly_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the weekly revenue series at lags 1–4 — the
+    seasonality diagnostic that tells the forecast family (OLS / EWMA /
+    Holt / backtest) which lags carry signal.
+
+    Engine-parity design: the series is floor-DOLLARS (weekly cents
+    summed exactly, then integer-divided by 100) so all six sufficient
+    statistics per lag stay in BIGINT for a multi-year series; the
+    Pearson r is ONE closed-form double expression over those integers,
+    identical in both engines, rounded at the boundary.
+
+    Scale notes: the fact scan reduces to |weeks| rows before any
+    window; the lead() window is over that tiny aggregated series (a
+    single-partition sort of ~hundreds of rows — the same deliberate
+    choice as the forecast queries), and the lag fan-out is a map-only
+    4-struct explode. At 100 TB nothing upstream of the weekly
+    aggregate changes.
+    """
+    o = _t(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("week_start")
+        # integer floor division (Spark DIV == DuckDB // on non-negatives)
+        .agg(F.expr("sum(cents) DIV 100").alias("dollars"))
+    )
+    w = Window.orderBy("week_start")
+    led = weekly.select(
+        F.col("dollars").alias("x"),
+        *[F.lead("dollars", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
+    )
+    pairs = led.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col("x"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in _ACF_LAGS
+                ]
+            )
+        ).alias("p")
+    ).select("p.lag", "p.x", "p.y").filter(F.col("y").isNotNull())
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return stats.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contingency-table independence audit (status x priority)
+# ---------------------------------------------------------------------------
+
+_INDEP_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY status, priority
+),
+margins AS (
+  SELECT status, priority, observed,
+         sum(observed) OVER (PARTITION BY status) AS row_total,
+         sum(observed) OVER (PARTITION BY priority) AS col_total,
+         sum(observed) OVER () AS n
+  FROM cells
+)
+SELECT status, priority, observed,
+       CAST(row_total AS BIGINT) AS row_total,
+       CAST(col_total AS BIGINT) AS col_total,
+       CAST(n * observed - row_total * col_total AS BIGINT) AS dev_n
+FROM margins
+"""
+
+
+@register("priority_status_independence", oracle=_INDEP_ORACLE, tags=("agg", "stats"))
+def priority_status_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence audit for (status, priority): each
+    cell's observed count against its margins, with the EXACT integer
+    deviation ``dev_n = n·observed − row_total·col_total`` (the
+    chi-square numerator scaled by n, sign showing over/under
+    -representation; dev_n = 0 for every cell ⇔ perfect independence).
+
+    Kept fully integer — the chi-square statistic itself is
+    dev_n²/(n·row·col) summed over cells, a float the CALLER derives;
+    emitting exact integers sidesteps cross-engine float-sum ordering
+    entirely (the repo's sufficient-statistics discipline).
+
+    Scale notes: one fact scan to a |cells|-row frame; margins are
+    window sums OVER THE CELLS (15 rows), not the facts — the fact
+    table is never re-scanned for row/column totals.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .groupBy("status", "priority")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    w_row = Window.partitionBy("status")
+    w_col = Window.partitionBy("priority")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "status",
+        "priority",
+        "observed",
+        F.sum("observed").over(w_row).cast("long").alias("row_total"),
+        F.sum("observed").over(w_col).cast("long").alias("col_total"),
+        F.sum("observed").over(w_all).cast("long").alias("n"),
+    )
+    return m.select(
+        "status",
+        "priority",
+        "observed",
+        "row_total",
+        "col_total",
+        (F.col("n") * F.col("observed") - F.col("row_total") * F.col("col_total"))
+        .cast("long")
+        .alias("dev_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-nation customer-spend Gini concentration
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY nationkey, custkey
+),
+ranked AS (
+  SELECT nationkey, cents,
+         row_number() OVER (PARTITION BY nationkey
+                            ORDER BY cents, custkey) AS rnk
+  FROM spend
+),
+stats AS (
+  SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total,
+         CAST(sum(rnk * cents) AS BIGINT) AS weighted
+  FROM ranked GROUP BY nationkey
+)
+SELECT nationkey, n AS n_customers, total AS total_cents,
+       round((2.0 * weighted - (CAST(n AS DOUBLE) + 1) * total)
+             / (CAST(n AS DOUBLE) * total), 6) AS gini
+FROM stats
+"""
+
+
+@register("nation_spend_gini", oracle=_GINI_ORACLE, tags=("agg", "stats"))
+def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer spend — the inequality /
+    concentration diagnostic (0 = spend spread evenly, →1 = one
+    customer dominates), the distributional complement of the Pareto
+    80% cut (nation_revenue_pareto).
+
+    Determinism: rank ties among equal spends are broken by custkey,
+    and Σ rank·cents is invariant to order WITHIN an equal-spend run,
+    so the integer sufficient statistics (n, Σx, Σ rank·x) are exact in
+    both engines; the Gini is one closed-form double expression.
+
+    Scale notes: per-nation window rank is |nations|-way parallel over
+    the compact (nation, customer) aggregate, not the fact table; for
+    billion-customer groups swap row_number for the two-pass
+    rank-from-sort-structure used in winsorized_price_stats — the
+    Σ rank·x statistic is unchanged.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(
+            F.broadcast(
+                c.select(
+                    F.col("c_custkey").alias("custkey"),
+                    F.col("c_nationkey").alias("nationkey"),
+                )
+            ),
+            F.col("o_custkey") == F.col("custkey"),
+        )
+        .groupBy("nationkey", "custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("cents", "custkey")
+    ranked = spend.select(
+        "nationkey", "cents", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    stats = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("rnk") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    n_d, total_d = F.col("n").cast("double"), F.col("total").cast("double")
+    return stats.select(
+        "nationkey",
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(
+            (F.lit(2.0) * F.col("weighted").cast("double") - (n_d + F.lit(1.0)) * total_d)
+            / (n_d * total_d),
+            6,
+        ).alias("gini"),
+    )
