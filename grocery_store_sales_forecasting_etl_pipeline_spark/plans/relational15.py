@@ -292,3 +292,153 @@ def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix over lineitem numeric columns
+# ---------------------------------------------------------------------------
+
+# integer scalings chosen so every sufficient statistic stays in BIGINT
+# with headroom to ~60B rows: qty (1..50) as-is, price in floor-dollars,
+# discount/tax in basis points
+_CORR_VARS = (
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price_usd", "CAST(round(l_extendedprice * 100) AS BIGINT) // 100"),
+    ("disc_bp", "CAST(round(l_discount * 10000) AS BIGINT)"),
+    ("tax_bp", "CAST(round(l_tax * 10000) AS BIGINT)"),
+)
+
+
+def _corr_oracle() -> str:
+    sel = ",\n         ".join(f"{expr} AS {name}" for name, expr in _CORR_VARS)
+    pairs = [
+        (a, b) for i, (a, _) in enumerate(_CORR_VARS) for b, _ in [p for p in _CORR_VARS[i + 1:]]
+    ]
+    stats = ",\n         ".join(
+        [f"CAST(count(*) AS BIGINT) AS n"]
+        + [f"CAST(sum({a}) AS BIGINT) AS s_{a}" for a, _ in _CORR_VARS]
+        + [f"CAST(sum({a} * {a}) AS BIGINT) AS ss_{a}" for a, _ in _CORR_VARS]
+        + [f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}" for a, b in pairs]
+    )
+    arms = "\n  UNION ALL ".join(
+        f"SELECT '{a}' AS var_1, '{b}' AS var_2, n, "
+        f"round((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+        f" / sqrt((CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a})"
+        f" * (CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b})), 6)"
+        f" AS corr FROM stats"
+        for a, b in pairs
+    )
+    return f"""
+WITH base AS (
+  SELECT {sel}
+  FROM lineitem
+),
+stats AS (
+  SELECT {stats}
+  FROM base
+)
+{arms}
+"""
+
+
+@register("lineitem_corr_matrix", oracle=_corr_oracle(), tags=("agg", "stats"))
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (long form: var_1, var_2, n,
+    corr) over lineitem's numeric columns — the feature-screening
+    profile an ML pipeline runs before training (collinearity /
+    leakage checks).
+
+    Engine-parity design: ALL C(4,2)=6 pairs come from ONE aggregation
+    pass collecting the 15 integer sufficient statistics (n, 4 sums,
+    4 sums-of-squares, 6 cross-products) — columns integer-scaled
+    (floor-dollars, basis points) so every statistic holds in BIGINT to
+    ~60B rows; each corr is one closed-form double expression over
+    those integers, evaluated identically in both engines. A naive
+    ``df.stat.corr`` loop would scan the fact 6 times and accumulate
+    in floats.
+
+    Scale notes: map-side partial aggregation reduces the scan to one
+    15-number state per mapper; the 6-row output is a driver-trivial
+    projection of the single global state.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.selectExpr(
+        *[f"{expr.replace('//', 'DIV')} AS {name}" for name, expr in _CORR_VARS]
+    )
+    names = [n for n, _ in _CORR_VARS]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias("n")]
+        + [F.sum(a).cast("long").alias(f"s_{a}") for a in names]
+        + [F.sum(F.col(a) * F.col(a)).cast("long").alias(f"ss_{a}") for a in names]
+        + [F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}") for a, b in pairs]
+    )
+    stats = base.agg(*aggs)
+    arm_rows = []
+    for a, b in pairs:
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        arm_rows.append(
+            stats.select(
+                F.lit(a).alias("var_1"),
+                F.lit(b).alias("var_2"),
+                F.col("n"),
+                F.round(
+                    (n * sp - sa * sb)
+                    / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb)),
+                    6,
+                ).alias("corr"),
+            )
+        )
+    out = arm_rows[0]
+    for r in arm_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 1000000 // (SELECT count(*) FROM digits) AS BIGINT)
+         AS ppm
+FROM digits GROUP BY digit
+"""
+
+
+@register("totalprice_benford_digits", oracle=_BENFORD_ORACLE, tags=("agg", "quality"))
+def totalprice_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals (Benford screen): digit
+    1-9 with exact counts and floor-ppm shares — the anomaly /
+    fabricated-data audit auditors run on financial columns. (TPC-H
+    prices are uniform-ish, NOT Benford-distributed; the audit reports,
+    it does not gate.)
+
+    Scale notes: map-only digit extraction (string head of the integer
+    part — no log10 float), one 9-group aggregate; the global total for
+    shares rides the same aggregate via a window, not a second scan.
+    Integer floor division (ppm) keeps the output float-free.
+    """
+    o = _t(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_all = Window.partitionBy()
+    return counts.select(
+        "digit",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("_num"),
+        F.sum("n").over(w_all).cast("long").alias("_tot"),
+    ).selectExpr("digit", "n", "_num DIV _tot AS ppm")
