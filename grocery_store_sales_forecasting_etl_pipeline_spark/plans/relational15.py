@@ -442,3 +442,77 @@ def totalprice_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n * 1000000").cast("long").alias("_num"),
         F.sum("n").over(w_all).cast("long").alias("_tot"),
     ).selectExpr("digit", "n", "_num DIV _tot AS ppm")
+
+
+# ---------------------------------------------------------------------------
+# Monotonic-ID completeness audit (gap detection without a global sort)
+# ---------------------------------------------------------------------------
+
+_GAP_BUCKET = 10_000
+
+_IDGAP_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+bucketed AS (
+  SELECT k, k // {_GAP_BUCKET} AS bucket,
+         lag(k) OVER (PARTITION BY k // {_GAP_BUCKET} ORDER BY k) AS prev_k
+  FROM keys
+),
+within AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(min(k) AS BIGINT) AS min_key,
+         CAST(max(k) AS BIGINT) AS max_key,
+         CAST(coalesce(sum(k - prev_k - 1), 0) AS BIGINT) AS missing_within,
+         CAST(coalesce(max(k - prev_k - 1), 0) AS BIGINT) AS largest_gap
+  FROM bucketed GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_keys, min_key, max_key,
+       missing_within, largest_gap,
+       CAST(coalesce(min_key - lag(max_key) OVER (ORDER BY bucket) - 1, 0)
+         AS BIGINT) AS boundary_missing
+FROM within
+"""
+
+
+@register("orderkey_gap_audit", oracle=_IDGAP_ORACLE, tags=("quality", "window"))
+def orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-ID completeness audit: per 10k-key bucket, how many
+    orderkeys are missing inside the bucket (sum and largest run) and
+    across the boundary from the previous bucket — the CDC / ingest
+    completeness check ("did we lose a range of records?").
+
+    Scale notes: the classic formulation (lag over ORDER BY key) is a
+    GLOBAL sort; here the lag windows are PARTITIONED by key-bucket, so
+    gap detection runs |buckets|-way parallel over one scan, and only
+    the |buckets|-row aggregate passes through the final single-row
+    -per-bucket boundary window (the concurrent_sessions_peak two-level
+    pattern). TPC-H orderkeys are sparse BY DESIGN (8 of every 32), so
+    the audit reports real structural gaps, not an empty result.
+    """
+    o = _t(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_orderkey").alias("k")).distinct()
+    bucketed = keys.select(
+        "k", F.expr(f"k DIV {_GAP_BUCKET}").alias("bucket")
+    ).withColumn(
+        "prev_k", F.lag("k").over(Window.partitionBy("bucket").orderBy("k"))
+    )
+    gap = F.col("k") - F.col("prev_k") - 1
+    within = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+        F.coalesce(F.sum(gap), F.lit(0)).cast("long").alias("missing_within"),
+        F.coalesce(F.max(gap), F.lit(0)).cast("long").alias("largest_gap"),
+    )
+    w = Window.orderBy("bucket")
+    return within.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_keys",
+        "min_key",
+        "max_key",
+        "missing_within",
+        "largest_gap",
+        F.coalesce(F.col("min_key") - F.lag("max_key").over(w) - 1, F.lit(0))
+        .cast("long")
+        .alias("boundary_missing"),
+    )

@@ -56,3 +56,39 @@ def test_gini_bounds_and_known_extremes(spark, sf_oracle):
         stats["n"] * stats["total"]
     )
     assert abs(gini) < 1e-12
+
+
+def test_gap_audit_detects_injected_key_ranges(spark, tmp_path, sf_smoke):
+    """The driver corpus has dense orderkeys (the registry row proves
+    parity on the gap-free case); this injects real holes and checks
+    the audit localizes them: a 200-key hole inside one bucket and a
+    deleted head of a later bucket (boundary gap)."""
+    import pyspark.sql.functions as F
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational15 import (
+        _GAP_BUCKET,
+        orderkey_gap_audit,
+    )
+
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    # synthesize a wider key space: spread keys so several buckets exist,
+    # then delete ranges
+    wide = o.withColumn("o_orderkey", F.col("o_orderkey") * 20)
+    holed = wide.filter(
+        ~F.col("o_orderkey").between(3_000, 3_000 + 199 * 20)  # in-bucket hole
+    ).filter(
+        ~F.col("o_orderkey").between(_GAP_BUCKET, _GAP_BUCKET + 2_000)  # bucket head
+    )
+    d = tmp_path / "gaps"
+    holed.write.parquet(f"{d}/orders.parquet")
+
+    rows = {r["bucket"]: r for r in orderkey_gap_audit(spark, str(d)).collect()}
+    # the in-bucket hole lands in bucket 0 and is fully counted there
+    assert rows[0]["missing_within"] >= 199 * 20 - 20, rows[0]
+    assert rows[0]["largest_gap"] >= 199 * 20 - 20, rows[0]
+    # the deleted head of bucket 1 shows up as boundary_missing
+    assert rows[1]["boundary_missing"] >= 2_000 - 20, rows[1]
+    # every key is accounted: n_keys + holes == span per bucket
+    for r in rows.values():
+        span = r["max_key"] - r["min_key"] + 1
+        assert r["n_keys"] + r["missing_within"] == span, r
