@@ -92,3 +92,47 @@ def test_daily_incremental_ingest_and_replay(spark, incr_env):
     _ingest_day(spark, d2_fix)
     feb = spark.table("raw.transactions_incr").filter("month = 2")
     assert {r.transactions for r in feb.collect()} == {901, 902, 903, 904, 905}
+
+
+def test_observe_quality_rides_the_write_action(spark, sf_smoke, tmp_path):
+    """observe_quality collects E2/E4/E5 metrics during the sink write
+    itself — the job counter shows NO additional jobs beyond the write,
+    and the collected metrics equal a recomputation."""
+    import pyspark.sql.functions as F
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators import quality as q
+
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    observed, obs = q.observe_quality(
+        o, no_null_cols=("o_orderkey", "o_custkey"), min_bounds={"o_totalprice": 0.0}
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    results = q.check_observation(
+        obs, no_null_cols=("o_orderkey", "o_custkey"), min_bounds={"o_totalprice": 0.0}
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+
+    ok, failed = q.expect_all(results)
+    assert ok, failed
+    # the write is jobs; the gates added none
+    assert after - before <= 2, (before, after)  # write may split into <=2 jobs
+    # metric values equal recomputation
+    n = o.count()
+    assert obs.get["n_rows"] == n
+    assert obs.get["min__o_totalprice"] == o.agg(F.min("o_totalprice")).first()[0]
+
+
+def test_observe_quality_flags_violations(spark):
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators import quality as q
+
+    df = spark.createDataFrame(
+        [(1, None, -5.0), (2, "x", 3.0)], "id long, s string, v double"
+    )
+    observed, obs = q.observe_quality(df, no_null_cols=("s",), min_bounds={"v": 0.0})
+    observed.count()
+    results = q.check_observation(obs, no_null_cols=("s",), min_bounds={"v": 0.0})
+    ok, failed = q.expect_all(results)
+    assert not ok and {r.name for r in failed} == {"no_nulls:s", "min_bound:v"}
