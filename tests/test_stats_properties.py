@@ -81,3 +81,25 @@ def test_independence_devn_is_scaled_chisq_numerator(spark, sf_oracle):
         for r in rows
     )
     assert abs(chi_from_devn - chi_direct) < 1e-9
+
+
+def test_cusum_windows_equal_sequential_fold(spark, sf_oracle):
+    """The two-window closed form S_t = P_t - min(0, min_j P_j) must
+    reproduce the textbook sequential clamp S_t = max(0, S_{t-1}+d_t)
+    exactly (integers, so equality is bitwise)."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational15 import (
+        weekly_revenue_cusum,
+    )
+
+    rows = sorted(
+        weekly_revenue_cusum(spark, sf_oracle).collect(), key=lambda r: r["week_start"]
+    )
+    dollars = [r["dollars"] for r in rows]
+    mu = sum(dollars) // len(dollars)
+    k = mu // 20
+    s_up = s_dn = 0
+    for r, x in zip(rows, dollars):
+        s_up = max(0, s_up + (x - mu - k))
+        s_dn = max(0, s_dn + (mu - k - x))
+        assert r["cusum_up"] == s_up and r["cusum_down"] == s_dn, r
+        assert r["alarm"] == (s_up > mu // 2 or s_dn > mu // 2), r
