@@ -89,6 +89,37 @@ def expect_all(results: Sequence[CheckResult]) -> tuple[bool, list[CheckResult]]
     return (not failed, list(failed))
 
 
+@dataclass
+class QualityObservation:
+    """Binds an ``Observation`` to the metric config it was built with,
+    so the check side can never drift from the observe side (a mismatch
+    would otherwise KeyError after the expensive action already ran)."""
+
+    obs: object
+    no_null_cols: tuple[str, ...]
+    min_bounds: dict[str, float]
+
+    def results(self) -> list[CheckResult]:
+        """Evaluate the collected metrics (blocks until the observed
+        frame's action has run)."""
+        vals = self.obs.get
+        out = [
+            CheckResult("nonempty", vals["n_rows"] > 0, "" if vals["n_rows"] else "no rows")
+        ]
+        for c in self.no_null_cols:
+            n = vals[f"nulls__{c}"]
+            out.append(
+                CheckResult(f"no_nulls:{c}", n == 0, f"null count: {n}" if n else "")
+            )
+        for c, bound in self.min_bounds.items():
+            lo = vals[f"min__{c}"]
+            ok = lo is not None and lo >= bound
+            out.append(
+                CheckResult(f"min_bound:{c}", ok, f"min({c})={lo} < {bound}" if not ok else "")
+            )
+        return out
+
+
 def observe_quality(
     df: DataFrame,
     no_null_cols: Sequence[str] = (),
@@ -102,10 +133,10 @@ def observe_quality(
     above (and N full scans in the reference's per-column counts,
     test_data_quality.py.py:23-28).
 
-    Returns ``(df_with_observation, observation)``; run any action on
-    the returned frame, then pass the observation to
-    ``check_observation`` to turn the collected metrics into
-    ``CheckResult``s. At 100 TB this is the difference between quality
+    Returns ``(df_with_observation, QualityObservation)``; run any
+    action on the returned frame, then call ``.results()`` on the
+    handle — the metric list and the check list are bound together, so
+    they cannot diverge. At 100 TB this is the difference between quality
     gates costing one extra full pass over the table and costing
     nothing: the metrics ride the task that was already running.
     """
@@ -117,29 +148,7 @@ def observe_quality(
         metrics.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"))
     for c in (min_bounds or {}):
         metrics.append(F.min(c).alias(f"min__{c}"))
-    return df.observe(obs, *metrics), obs
-
-
-def check_observation(
-    obs,
-    no_null_cols: Sequence[str] = (),
-    min_bounds: dict[str, float] | None = None,
-) -> list[CheckResult]:
-    """Evaluate the metrics an ``observe_quality`` observation collected
-    (blocks until the observed frame's action has run)."""
-    vals = obs.get
-    results = [
-        CheckResult("nonempty", vals["n_rows"] > 0, "" if vals["n_rows"] else "no rows")
-    ]
-    for c in no_null_cols:
-        n = vals[f"nulls__{c}"]
-        results.append(
-            CheckResult(f"no_nulls:{c}", n == 0, f"null count: {n}" if n else "")
-        )
-    for c, bound in (min_bounds or {}).items():
-        lo = vals[f"min__{c}"]
-        ok = lo is not None and lo >= bound
-        results.append(
-            CheckResult(f"min_bound:{c}", ok, f"min({c})={lo} < {bound}" if not ok else "")
-        )
-    return results
+    handle = QualityObservation(
+        obs=obs, no_null_cols=tuple(no_null_cols), min_bounds=dict(min_bounds or {})
+    )
+    return df.observe(obs, *metrics), handle

@@ -22,16 +22,35 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import re
 # Weekly revenue autocorrelation (ACF lags 1..4)
 # ---------------------------------------------------------------------------
 
-# floor-dollars: weekly cents sums are exact BIGINT, then DIV 100 keeps
-# Σx² for a ~350-point series safely inside BIGINT (cents² would not).
-_ACF_LAGS = (1, 2, 3, 4)
 
-_ACF_ORACLE = """
+# shared by weekly_revenue_acf / weekly_revenue_cusum: the weekly floor
+# -dollar series (cents summed exactly, then integer-divided by 100;
+# Spark DIV == DuckDB // on non-negatives)
+_WEEKLY_CTE = """
 WITH weekly AS (
   SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
          sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS dollars
   FROM orders GROUP BY week_start
-),
+)"""
+
+
+def _weekly_dollars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("week_start")
+        .agg(F.expr("sum(cents) DIV 100").alias("dollars"))
+    )
+
+
+# floor-dollars: weekly cents sums are exact BIGINT, then DIV 100 keeps
+# Σx² for a ~350-point series safely inside BIGINT (cents² would not).
+_ACF_LAGS = (1, 2, 3, 4)
+
+_ACF_ORACLE = _WEEKLY_CTE + """,
 led AS (
   SELECT dollars AS x,
          lead(dollars, 1) OVER w AS y1,
@@ -47,11 +66,13 @@ pairs AS (
   UNION ALL SELECT 4, x, y4 FROM led WHERE y4 IS NOT NULL
 ),
 stats AS (
+  -- HUGEINT accumulation: Σx² for a dollar-scaled series overflows
+  -- BIGINT from ~sf1 (measured 4.1e18 at sf0.1); exact to 1e38
   SELECT lag, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
@@ -70,10 +91,12 @@ def weekly_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Holt / backtest) which lags carry signal.
 
     Engine-parity design: the series is floor-DOLLARS (weekly cents
-    summed exactly, then integer-divided by 100) so all six sufficient
-    statistics per lag stay in BIGINT for a multi-year series; the
-    Pearson r is ONE closed-form double expression over those integers,
-    identical in both engines, rounded at the boundary.
+    summed exactly, then integer-divided by 100) and the six sufficient
+    statistics per lag accumulate in DECIMAL(38,0) / HUGEINT — exact
+    integer arithmetic with 1e38 headroom (BIGINT overflows from ~sf1:
+    Σx² measured 4.1e18 at sf0.1 and ANSI mode throws); the Pearson r
+    is ONE closed-form double expression over those integers, identical
+    in both engines, rounded at the boundary.
 
     Scale notes: the fact scan reduces to |weeks| rows before any
     window; the lead() window is over that tiny aggregated series (a
@@ -82,16 +105,7 @@ def weekly_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-struct explode. At 100 TB nothing upstream of the weekly
     aggregate changes.
     """
-    o = _t(spark, sf_dir, "orders")
-    weekly = (
-        o.select(
-            F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("week_start")
-        # integer floor division (Spark DIV == DuckDB // on non-negatives)
-        .agg(F.expr("sum(cents) DIV 100").alias("dollars"))
-    )
+    weekly = _weekly_dollars(spark, sf_dir)
     w = Window.orderBy("week_start")
     led = weekly.select(
         F.col("dollars").alias("x"),
@@ -111,13 +125,19 @@ def weekly_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.lag", "p.x", "p.y").filter(F.col("y").isNotNull())
+    # DECIMAL(38,0) accumulation — exact like BIGINT but with 1e38
+    # headroom: Σx² for the dollar series overflows long from ~sf1
+    # (measured 4.1e18 at sf0.1, ANSI mode throws); DuckDB side uses
+    # HUGEINT, both exact, both feeding the same double formula
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     stats = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
@@ -167,7 +187,10 @@ def priority_status_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kept fully integer — the chi-square statistic itself is
     dev_n²/(n·row·col) summed over cells, a float the CALLER derives;
     emitting exact integers sidesteps cross-engine float-sum ordering
-    entirely (the repo's sufficient-statistics discipline).
+    entirely (the repo's sufficient-statistics discipline). Bound:
+    dev_n's products grow ~n²/|cells|, so the BIGINT output is exact to
+    ~1.2e10 orders; past that, emit dev_n DIV n (same sign/ordering
+    information, n× more headroom) or widen to decimal(38,0).
 
     Scale notes: one fact scan to a |cells|-row frame; margins are
     window sums OVER THE CELLS (15 rows), not the facts — the fact
@@ -223,9 +246,11 @@ ranked AS (
   FROM spend
 ),
 stats AS (
+  -- HUGEINT: Σ rank·cents grows ~n² per group and crosses BIGINT at
+  -- ~4M customers/nation; exact to 1e38
   SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(cents) AS BIGINT) AS total,
-         CAST(sum(rnk * cents) AS BIGINT) AS weighted
+         sum(CAST(rnk AS HUGEINT) * cents) AS weighted
   FROM ranked GROUP BY nationkey
 )
 SELECT nationkey, n AS n_customers, total AS total_cents,
@@ -245,7 +270,8 @@ def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: rank ties among equal spends are broken by custkey,
     and Σ rank·cents is invariant to order WITHIN an equal-spend run,
     so the integer sufficient statistics (n, Σx, Σ rank·x) are exact in
-    both engines; the Gini is one closed-form double expression.
+    both engines (Σ rank·x accumulates in DECIMAL(38,0)/HUGEINT — it
+    grows ~n² per group); the Gini is one closed-form double expression.
 
     Scale notes: per-nation window rank is |nations|-way parallel over
     the compact (nation, customer) aggregate, not the fact table; for
@@ -279,7 +305,9 @@ def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ranked.groupBy("nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("total"),
-        F.sum(F.col("rnk") * F.col("cents")).cast("long").alias("weighted"),
+        # decimal: Σ rank·cents grows ~n² per group (BIGINT dies at ~4M
+        # customers/nation; decimal exact to 1e38)
+        F.sum(F.col("rnk").cast("decimal(38,0)") * F.col("cents")).alias("weighted"),
     )
     n_d, total_d = F.col("n").cast("double"), F.col("total").cast("double")
     return stats.select(
@@ -298,9 +326,10 @@ def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pairwise correlation matrix over lineitem numeric columns
 # ---------------------------------------------------------------------------
 
-# integer scalings chosen so every sufficient statistic stays in BIGINT
-# with headroom to ~60B rows: qty (1..50) as-is, price in floor-dollars,
-# discount/tax in basis points
+# integer scalings (qty as-is, price in floor-dollars, discount/tax in
+# basis points) keep per-row products small; accumulation is
+# DECIMAL(38,0)/HUGEINT because Σ price² alone crosses BIGINT at ~2.5B
+# rows (measured 2.2e15 at sf0.1) — decimal holds exactly to ~1e38
 _CORR_VARS = (
     ("qty", "CAST(l_quantity AS BIGINT)"),
     ("price_usd", "CAST(round(l_extendedprice * 100) AS BIGINT) // 100"),
@@ -316,9 +345,9 @@ def _corr_oracle() -> str:
     ]
     stats = ",\n         ".join(
         [f"CAST(count(*) AS BIGINT) AS n"]
-        + [f"CAST(sum({a}) AS BIGINT) AS s_{a}" for a, _ in _CORR_VARS]
-        + [f"CAST(sum({a} * {a}) AS BIGINT) AS ss_{a}" for a, _ in _CORR_VARS]
-        + [f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}" for a, b in pairs]
+        + [f"sum(CAST({a} AS HUGEINT)) AS s_{a}" for a, _ in _CORR_VARS]
+        + [f"sum(CAST({a} AS HUGEINT) * {a}) AS ss_{a}" for a, _ in _CORR_VARS]
+        + [f"sum(CAST({a} AS HUGEINT) * {b}) AS sp_{a}_{b}" for a, b in pairs]
     )
     arms = "\n  UNION ALL ".join(
         f"SELECT '{a}' AS var_1, '{b}' AS var_2, n, "
@@ -351,8 +380,9 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-parity design: ALL C(4,2)=6 pairs come from ONE aggregation
     pass collecting the 15 integer sufficient statistics (n, 4 sums,
     4 sums-of-squares, 6 cross-products) — columns integer-scaled
-    (floor-dollars, basis points) so every statistic holds in BIGINT to
-    ~60B rows; each corr is one closed-form double expression over
+    (floor-dollars, basis points) and accumulated in DECIMAL(38,0)/
+    HUGEINT (Σ price² crosses BIGINT at ~2.5B rows; decimal is exact to
+    ~3e28 rows); each corr is one closed-form double expression over
     those integers, evaluated identically in both engines. A naive
     ``df.stat.corr`` loop would scan the fact 6 times and accumulate
     in floats.
@@ -367,13 +397,31 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     names = [n for n, _ in _CORR_VARS]
     pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
-    aggs = (
+    # two-level exact accumulation: per-partition partials in LONG (a
+    # 128 MB scan partition holds ~1M rows, Σ price² ≈ 4e15 — far inside
+    # BIGINT), then the handful of partials sum in DECIMAL(38,0). Long
+    # partials keep whole-stage codegen on the hot 60M-row pass; an
+    # all-decimal aggregate measured 3.8× slower at sf10 (45s vs 12s).
+    # Exactness is unaffected: integer addition is associative, so the
+    # partial/final split cannot change the result.
+    part_aggs = (
         [F.count(F.lit(1)).cast("long").alias("n")]
         + [F.sum(a).cast("long").alias(f"s_{a}") for a in names]
         + [F.sum(F.col(a) * F.col(a)).cast("long").alias(f"ss_{a}") for a in names]
         + [F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}") for a, b in pairs]
     )
-    stats = base.agg(*aggs)
+    partials = base.groupBy(F.spark_partition_id().alias("__pid")).agg(*part_aggs)
+    metric_cols = [c for c in partials.columns if c != "__pid"]
+    stats = partials.agg(
+        *[
+            (
+                F.sum("n").cast("long").alias("n")
+                if c == "n"
+                else F.sum(F.col(c).cast("decimal(38,0)")).alias(c)
+            )
+            for c in metric_cols
+        ]
+    )
     arm_rows = []
     for a, b in pairs:
         n = F.col("n").cast("double")
@@ -522,12 +570,7 @@ def orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUSUM drift detection over the weekly revenue series
 # ---------------------------------------------------------------------------
 
-_CUSUM_ORACLE = """
-WITH weekly AS (
-  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS dollars
-  FROM orders GROUP BY week_start
-),
+_CUSUM_ORACLE = _WEEKLY_CTE + """,
 param AS (
   SELECT *,
          sum(dollars) OVER () // count(*) OVER () AS mu
@@ -580,16 +623,7 @@ def weekly_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast family). μ, k, h derive from window totals — no second
     scan, no driver collect.
     """
-    o = _t(spark, sf_dir, "orders")
-    weekly = (
-        o.select(
-            F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("week_start")
-        .agg(F.expr("sum(cents) DIV 100").alias("dollars"))
-    )
-    w_all = Window.partitionBy()
+    weekly = _weekly_dollars(spark, sf_dir)
     param = weekly.select(
         "week_start",
         "dollars",

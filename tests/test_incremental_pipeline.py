@@ -103,26 +103,31 @@ def test_observe_quality_rides_the_write_action(spark, sf_smoke, tmp_path):
     from grocery_store_sales_forecasting_etl_pipeline_spark.operators import quality as q
 
     o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
-    observed, obs = q.observe_quality(
-        o, no_null_cols=("o_orderkey", "o_custkey"), min_bounds={"o_totalprice": 0.0}
-    )
 
     tracker = spark.sparkContext.statusTracker()
+    # control: the same write WITHOUT observation, to measure the
+    # write's own job count on this Spark version
+    before_ctrl = len(tracker.getJobIdsForGroup(None) or [])
+    o.write.mode("overwrite").parquet(str(tmp_path / "ctrl"))
+    write_jobs = len(tracker.getJobIdsForGroup(None) or []) - before_ctrl
+
+    observed, handle = q.observe_quality(
+        o, no_null_cols=("o_orderkey", "o_custkey"), min_bounds={"o_totalprice": 0.0}
+    )
     before = len(tracker.getJobIdsForGroup(None) or [])
     observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
-    results = q.check_observation(
-        obs, no_null_cols=("o_orderkey", "o_custkey"), min_bounds={"o_totalprice": 0.0}
-    )
+    results = handle.results()
     after = len(tracker.getJobIdsForGroup(None) or [])
 
     ok, failed = q.expect_all(results)
     assert ok, failed
-    # the write is jobs; the gates added none
-    assert after - before <= 2, (before, after)  # write may split into <=2 jobs
+    # the observed write runs EXACTLY the control's job count: the
+    # gates add zero jobs (the regression this test exists to catch)
+    assert after - before == write_jobs, (before, after, write_jobs)
     # metric values equal recomputation
     n = o.count()
-    assert obs.get["n_rows"] == n
-    assert obs.get["min__o_totalprice"] == o.agg(F.min("o_totalprice")).first()[0]
+    assert handle.obs.get["n_rows"] == n
+    assert handle.obs.get["min__o_totalprice"] == o.agg(F.min("o_totalprice")).first()[0]
 
 
 def test_observe_quality_flags_violations(spark):
@@ -131,8 +136,7 @@ def test_observe_quality_flags_violations(spark):
     df = spark.createDataFrame(
         [(1, None, -5.0), (2, "x", 3.0)], "id long, s string, v double"
     )
-    observed, obs = q.observe_quality(df, no_null_cols=("s",), min_bounds={"v": 0.0})
+    observed, handle = q.observe_quality(df, no_null_cols=("s",), min_bounds={"v": 0.0})
     observed.count()
-    results = q.check_observation(obs, no_null_cols=("s",), min_bounds={"v": 0.0})
-    ok, failed = q.expect_all(results)
+    ok, failed = q.expect_all(handle.results())
     assert not ok and {r.name for r in failed} == {"no_nulls:s", "min_bound:v"}

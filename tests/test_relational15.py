@@ -25,7 +25,6 @@ def test_independence_deviations_sum_to_zero_per_margin(spark, sf_oracle):
         by_priority[r["priority"]] = by_priority.get(r["priority"], 0) + r["dev_n"]
     assert all(v == 0 for v in by_status.values()), by_status
     assert all(v == 0 for v in by_priority.values()), by_priority
-    n = rows[0]["row_total"]  # any; re-derive n from one full row scan
     n = sum(r["observed"] for r in rows)
     assert all(0 < r["row_total"] <= n and 0 < r["col_total"] <= n for r in rows)
 
