@@ -40,12 +40,23 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _force(df) -> None:
+    """Materialize EVERY output column via the noop v2 sink. count() is
+    NOT a valid forcing action for a benchmark: Catalyst prunes columns
+    count() doesn't need, silently skipping output-projection work — at
+    sf10 this hid a long-overflow crash in weekly_revenue_acf behind a
+    1.5s "timing" while the honest run computes (and then threw) in the
+    pruned expressions. The noop sink consumes all columns and discards
+    rows executor-side (no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def time_query(spark, build, sf_dir: str) -> float:
-    build(spark, sf_dir).count()  # warm-up (also JIT + file listing cache)
+    _force(build(spark, sf_dir))  # warm-up (also JIT + file listing cache)
     runs = []
     for _ in range(N_RUNS):
         t0 = time.perf_counter()
-        build(spark, sf_dir).count()
+        _force(build(spark, sf_dir))
         runs.append(time.perf_counter() - t0)
     return statistics.median(runs)
 
