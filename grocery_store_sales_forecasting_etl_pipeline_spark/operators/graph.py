@@ -273,3 +273,43 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         )
     final = _symmetrize(e).groupBy("u").agg(F.count("*").cast("long").alias("d"))
     return final.select(F.col("u").alias("v"), F.col("d").alias("degree"))
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop distance
+    (≤ ``max_depth``) from ANY seed node, over the undirected graph.
+    ``seeds``: a (v) frame of source nodes. Returns (v, depth) with one
+    row per reached node — exact integers, so the result is bit-stable
+    under any partitioning or engine (the DuckDB oracle replays it as a
+    depth-bounded recursive CTE).
+
+    Scale notes: the textbook frontier expansion as joins — each round
+    joins the CURRENT frontier (shrinking node-grain frame) to the edge
+    list, dedups the neighbor set, and anti-joins the visited set; the
+    per-round cost is degree(frontier), not the whole graph, and the
+    anti-join keeps the frontier from re-expanding into settled nodes
+    (without it a dense graph's frontier grows by the path count, not
+    the node count). ``localCheckpoint`` truncates per-round lineage
+    exactly as the other iterative operators here do. Fixed
+    ``max_depth`` keeps the job graph static.
+    """
+    und = _symmetrize(_canonical(edges)).localCheckpoint(eager=False)
+    visited = (
+        seeds.select(F.col("v").cast("long").alias("v"))
+        .distinct()
+        .select("v", F.lit(0).cast("long").alias("depth"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("v")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            und.join(frontier.select(F.col("v").alias("u")), "u")
+            .select("v")
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .select("v", F.lit(d).cast("long").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("v")
+    return visited
