@@ -99,7 +99,16 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    # localCheckpoint the doc-grain and match-grain aggregates: tot
+    # derives from dl and dft from tf — without the checkpoint each
+    # derivation re-runs the corpus tokenize (4 scans total; same
+    # multi-derivation trap measured on bigram_pmi_topk). NOT persist()
+    # — builder-level persist poisons the bench (r5 learning).
+    dl = (
+        tok.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     tot = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
@@ -108,6 +117,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.filter(F.col("token").isin(*_BM25_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dft = tf.groupBy("token").agg(F.count("*").cast("long").alias("dft"))
     s = (
