@@ -129,6 +129,12 @@ def jaccard_pairs(
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
+    # `sh` feeds sizes AND both self-join sides (3 recomputes of the
+    # tokenize+explode). Deliberately NOT checkpointed: the exploded
+    # shingle frame is corpus×k-grams wide, and materializing it costs
+    # more than the recomputes save (A/B at sf1: 8.5s checkpointed vs
+    # 7.2s recomputed) — the multi-derivation checkpoint rule applies to
+    # SMALL derived frames only (BASELINE.md r5).
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -262,7 +262,11 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     group.
     """
     e = _t(spark, sf_dir, "events")
-    sess = session_bounds(e)
+    # session-grain frame feeds BOTH union arms (and through them both
+    # window levels) — without a checkpoint the two event-grain window
+    # passes in session_bounds run 4× (multi-derivation trap,
+    # BASELINE.md r5); checkpointed, events are scanned once.
+    sess = session_bounds(e).localCheckpoint(eager=False)
     deltas = sess.select(
         "user_id", F.col("s_start").alias("ts"), F.lit(1).alias("delta")
     ).unionByName(

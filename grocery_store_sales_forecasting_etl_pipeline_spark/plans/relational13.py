@@ -208,9 +208,17 @@ def session_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "events")
-    sess = session_bounds(e).select(
-        F.col("s_start").cast("timestamp").cast("long").alias("t0"),
-        F.col("s_end").cast("timestamp").cast("long").alias("t1"),
+    # checkpoint the session-grain frame (both union arms consume it)
+    # and the boundary-grain agg below (both sweep levels consume it) —
+    # uncheckpointed this builder scans events 4× (multi-derivation
+    # trap, BASELINE.md r5); checkpointed, once.
+    sess = (
+        session_bounds(e)
+        .select(
+            F.col("s_start").cast("timestamp").cast("long").alias("t0"),
+            F.col("s_end").cast("timestamp").cast("long").alias("t1"),
+        )
+        .localCheckpoint(eager=False)
     )
     pts = sess.select(F.col("t0").alias("t"), F.lit(1).alias("d")).union(
         sess.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
@@ -221,6 +229,7 @@ def session_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "day", F.date_format(F.timestamp_seconds("t"), "yyyy-MM-dd")
         )
+        .localCheckpoint(eager=False)
     )
     wd = Window.partitionBy("day").orderBy("t")
     local = agg.select(
