@@ -231,6 +231,7 @@ def scd2_merge(
     version: int,
     *,
     validate: bool = False,
+    close_missing: bool = True,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension merge: fold a new full snapshot
     of a dimension into an SCD2 history table (attribute columns +
@@ -336,10 +337,42 @@ def scd2_merge(
     out = (
         F.when(in_cur & in_new & ~changed, F.array(cur_open))
         .when(in_cur & in_new & changed, F.array(cur_closed, new_open))
-        .when(in_cur & ~in_new, F.array(cur_closed))
+        # full-snapshot semantics close a key the snapshot no longer
+        # carries; CDC-changes semantics (close_missing=False, see
+        # scd2_apply_changes) leave untouched keys open
+        .when(in_cur & ~in_new, F.array(cur_closed if close_missing else cur_open))
         .otherwise(F.array(new_open))
     )
     merged = j.select(
         *[F.col(k) for k in keys], F.explode(out).alias("__r")
     ).select(*keys, "__r.*")
     return closed_rows.select(*merged.columns).unionByName(merged)
+
+
+def scd2_apply_changes(
+    current: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    version: int,
+    *,
+    validate: bool = False,
+) -> DataFrame:
+    """CDC variant of ``scd2_merge``: ``changes`` is a PARTIAL set of
+    upserted rows (a micro-batch, a CDC feed), not a full snapshot —
+    keys absent from ``changes`` keep their open row instead of being
+    closed as deletions. Changed keys close-and-reopen, new keys open,
+    attribute-identical rows are no-ops; applying the same change set
+    twice at the same version is therefore idempotent, which is what
+    makes this safe under Structured Streaming's at-least-once
+    foreachBatch replay (see ``streaming.events.stream_scd2_to_table``).
+    Same single-join + conditional-array-explode plan, same
+    preconditions (unique keys in ``changes``; ``validate=True`` to
+    assert)."""
+    return scd2_merge(
+        current,
+        changes,
+        keys,
+        version,
+        validate=validate,
+        close_missing=False,
+    )
