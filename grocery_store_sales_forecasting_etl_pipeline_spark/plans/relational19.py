@@ -206,7 +206,7 @@ WITH big AS (
   SELECT l_orderkey
   FROM lineitem
   GROUP BY l_orderkey
-  HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 250
 )
 SELECT c_name, o.o_orderkey, o.o_orderdate,
        CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
@@ -223,7 +223,10 @@ GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
 @register("large_quantity_orders", oracle=_LARGE_ORDERS_ORACLE, tags=("join", "agg", "tpch"))
 def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total line quantity exceeds a
-    threshold, re-joined to orders/customer/lineitem for the report —
+    threshold (250 — selective at EVERY scale factor: per-order line
+    counts are fixed by the generator, so the qualifying fraction does
+    not grow with data volume; the r5 sf1 probe showed threshold 150
+    qualifying 39% of orders and blowing the report join up 16x), re-joined to orders/customer/lineitem for the report —
     the aggregate-then-semi-join-back pattern (a HAVING filter used as
     a key generator).
 
@@ -241,7 +244,7 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
-        .filter(F.col("q") > 150)
+        .filter(F.col("q") > 250)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (

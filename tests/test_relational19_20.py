@@ -40,12 +40,12 @@ def test_cheapest_supplier_is_the_minimum(spark):
 def test_large_orders_exceed_threshold_and_match_having(spark):
     out = plans.REGISTRY["large_quantity_orders"].build(spark, SF)
     rows = out.collect()
-    assert rows and all(r["total_qty"] > 150 for r in rows)
+    assert rows and all(r["total_qty"] > 250 for r in rows)
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     expect = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
-        .filter(F.col("q") > 150)
+        .filter(F.col("q") > 250)
         .count()
     )
     assert len(rows) == expect
