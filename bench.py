@@ -67,7 +67,7 @@ def main() -> None:
     names = HEADLINE or sorted(plans.REGISTRY)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for i, name in enumerate(names):
         q = plans.REGISTRY.get(name)
         if q is None:
             continue
@@ -75,6 +75,16 @@ def main() -> None:
             timings[name] = round(time_query(spark, q.build, SF_DIR), 4)
         except Exception as exc:  # one failing query must not lose the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        if (i + 1) % 20 == 0:
+            # long-session hygiene, OUTSIDE any timed window: drop py4j
+            # refs and force a driver GC so ContextCleaner reclaims the
+            # accumulated shuffle/broadcast/checkpoint state (see
+            # session.py periodicGC note; without this the tail of a
+            # full-registry run measured 5-15x inflated)
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -74,6 +74,14 @@ def get_spark(
         # 32g, floored at 4g (override via SPARK_GRAFT_DRIVER_MEM)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
+        # ContextCleaner reclaims shuffle files / broadcast / checkpoint
+        # blocks only when the DRIVER JVM garbage-collects — and a large
+        # heap under the default 30min periodicGC may simply never GC in
+        # a long session, so a few hundred query executions accumulate
+        # state until everything slows down (measured: 5-15x per-query
+        # inflation by the tail of a 158-query full-registry bench).
+        # Force a periodic driver GC so cleanup actually runs.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     if master is not None:
         builder = builder.master(master)
