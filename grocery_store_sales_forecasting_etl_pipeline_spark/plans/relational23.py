@@ -119,6 +119,10 @@ def nation_balance_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mid_lo = F.expr("(n + 1) DIV 2")
     mid_hi = F.expr("n DIV 2 + 1")
+    # The nation-grain stat frames (m, mad) are each consumed twice —
+    # checkpoint them so the customer-grain rank pass runs once per
+    # stage instead of re-expanding per consumer (5 scans -> 3; the
+    # multi-derivation rule: checkpoint small shared frames only).
     m = r1.groupBy("nation").agg(
         (
             F.sum(F.when(F.col("rn") == mid_lo, F.col("cents")).otherwise(F.lit(0)))
@@ -126,7 +130,7 @@ def nation_balance_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("m2")
-    )
+    ).localCheckpoint(eager=False)
     dev = r1.join(F.broadcast(m), "nation").select(
         "nation",
         "c_custkey",
@@ -145,7 +149,7 @@ def nation_balance_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("mad2")
-    )
+    ).localCheckpoint(eager=False)
     return (
         r2.join(F.broadcast(mad), "nation")
         .join(F.broadcast(m), "nation")
