@@ -283,3 +283,57 @@ def test_label_agreement_broadcasts_panel_not_corpus(spark, sf_oracle):
     # while every broadcast subtree carries the bounded panel filter
     corpus_scan = plan.index("ReadSchema: struct<vec_id:bigint,label:int>")
     assert corpus_scan < plan.index("BroadcastExchange"), plan
+
+
+def test_bucketed_join_eliminates_both_exchanges(spark, sf_oracle, tmp_path):
+    """The write_bucketed docstring's promise: two tables bucketed on
+    the same key and count join with ZERO hash exchanges (bucketing IS
+    the shuffle, paid once at write time), and sortBy additionally
+    removes the join-side sorts — the co-located-join strategy for
+    repeatedly-joined 100 TB fact tables."""
+    import pyspark.sql.functions as F
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.sources.sinks import write_bucketed
+
+    o = spark.read.parquet(f"{sf_oracle}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(o, "bkt_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem",
+        ["o_orderkey"],
+        8,
+        sort_by=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        # at test scale AQE would broadcast the small side and hide the
+        # bucketing property; at 100 TB neither side broadcasts — model
+        # that by disabling the threshold for the plan assertion
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_orders").join(spark.table("bkt_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # cross-check correctness of the co-located join
+        expect = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == expect
+        # bucket pruning: an equality filter on the bucket key scans 1 bucket
+        # bucket pruning: an equality filter on the bucket key reads 1 of
+        # 8 buckets (autoBucketedScan would skip bucketed reading for a
+        # filter-only plan, so pin it off for the assertion)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        try:
+            one = spark.table("bkt_orders").filter(F.col("o_orderkey") == 42)
+            pruned = one._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 1 out of 8" in pruned
+        finally:
+            spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
