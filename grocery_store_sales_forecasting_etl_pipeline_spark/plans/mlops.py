@@ -500,3 +500,147 @@ def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st[1], 6).alias("holt_trend"),
         F.round(st[0] + st[1], 6).alias("holt_forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing
+# ---------------------------------------------------------------------------
+
+_HW_SEASON = 4  # weekly series, ~monthly seasonal cycle
+_HW_MIN_WEEKS = 12  # >= 3 full seasons
+
+# The recurrence state is the (2 + m)-element array
+# [level, trend, s_next, s_next+1, ..., s_next+m-1]; each step consumes
+# the head seasonal and rotates the updated one to the back. The level
+# expression is inlined (lambdas bind no intermediates) with IDENTICAL
+# text in both engines; alpha = beta = gamma = 0.5 keeps every multiply
+# an exponent shift so only the pinned-order additions round.
+_HW_L_SQL = "((x[1] - acc[3]) * 0.5 + (acc[1] + acc[2]) * 0.5)"
+
+_HW_ORACLE = f"""
+{_WEEKLY_QTY_CTE}
+s AS (
+  SELECT suppkey,
+         count(*) AS n_weeks,
+         list(CAST(y AS DOUBLE) ORDER BY yr, wk) AS ys
+  FROM weekly GROUP BY suppkey
+),
+i AS (
+  SELECT suppkey, n_weeks, ys,
+         (ys[1] + ys[2] + ys[3] + ys[4]) / 4.0 AS m0
+  FROM s WHERE n_weeks >= {_HW_MIN_WEEKS}
+),
+f AS (
+  SELECT suppkey, n_weeks,
+         list_reduce(
+           list_prepend(
+             list_value(m0, 0.0, ys[1] - m0, ys[2] - m0, ys[3] - m0, ys[4] - m0),
+             list_transform(ys[{_HW_SEASON + 1}:], x -> list_value(x))
+           ),
+           (acc, x) -> list_concat(
+             list_value(
+               {_HW_L_SQL},
+               (({_HW_L_SQL}) - acc[1]) * 0.5 + acc[2] * 0.5
+             ),
+             list_concat(
+               acc[4:{_HW_SEASON + 2}],
+               list_value((x[1] - ({_HW_L_SQL})) * 0.5 + acc[3] * 0.5)
+             )
+           )
+         ) AS st
+  FROM i
+)
+SELECT suppkey,
+       CAST(n_weeks AS BIGINT)        AS n_weeks,
+       round(st[1], 6)                AS hw_level,
+       round(st[2], 6)                AS hw_trend,
+       round(st[3], 6)                AS hw_seasonal_next,
+       round(st[1] + st[2] + st[3], 6) AS hw_forecast
+FROM f
+"""
+
+
+@register("forecast_holt_winters", oracle=_HW_ORACLE, tags=("ml",))
+def forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per supplier
+    (alpha = beta = gamma = 0.5, season length 4) over the weekly
+    quantity series: level, trend, AND a rotating seasonal vector —
+    the seasonality-aware completion of the smoothing family
+    (EWMA -> Holt -> Holt-Winters), i.e. the model the repo is named
+    for. Initialization: level = mean of the first season, trend 0,
+    seasonals = first-season deviations; one-step forecast =
+    level + trend + next seasonal.
+
+    Engine-parity design: the fold state is a 6-element array
+    [level, trend, s1..s4] rotated each step inside ``F.aggregate``;
+    the oracle replays it with ``list_reduce`` over an init-prepended
+    list (the forecast_holt_linear scaffolding). The inlined level
+    expression uses identical text in both engines, and the 0.5
+    coefficients make every multiply exact — only the pinned-order
+    additions round, so results are bit-identical like EWMA/Holt.
+
+    Scale notes: one shuffle groups each supplier's series; per-group
+    state is |weeks| doubles plus a season-length array — the
+    per-entity sequential-recurrence escape hatch, bounded by series
+    length, never corpus size.
+    """
+    weekly = _weekly_qty(spark, sf_dir)
+    s = (
+        weekly.groupBy("suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_weeks"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("yr", "wk", "y"))),
+                lambda r: r["y"].cast("double"),
+            ).alias("ys"),
+        )
+        .filter(F.col("n_weeks") >= _HW_MIN_WEEKS)
+        .withColumn(
+            "m0",
+            (
+                F.element_at("ys", 1)
+                + F.element_at("ys", 2)
+                + F.element_at("ys", 3)
+                + F.element_at("ys", 4)
+            )
+            / F.lit(4.0),
+        )
+    )
+
+    def step(acc, x):
+        # identical op order to _HW_L_SQL (acc is 0-based here)
+        lev = (x - acc[2]) * F.lit(0.5) + (acc[0] + acc[1]) * F.lit(0.5)
+        trend = (
+            ((x - acc[2]) * F.lit(0.5) + (acc[0] + acc[1]) * F.lit(0.5)) - acc[0]
+        ) * F.lit(0.5) + acc[1] * F.lit(0.5)
+        snew = (
+            x - ((x - acc[2]) * F.lit(0.5) + (acc[0] + acc[1]) * F.lit(0.5))
+        ) * F.lit(0.5) + acc[2] * F.lit(0.5)
+        return F.concat(
+            F.array(lev, trend),
+            F.slice(acc, 4, _HW_SEASON - 1),
+            F.array(snew),
+        )
+
+    m0 = F.col("m0")
+    init = F.array(
+        m0,
+        F.lit(0.0),
+        F.element_at("ys", 1) - m0,
+        F.element_at("ys", 2) - m0,
+        F.element_at("ys", 3) - m0,
+        F.element_at("ys", 4) - m0,
+    )
+    st = F.aggregate(
+        F.slice(F.col("ys"), _HW_SEASON + 1, F.size("ys") - _HW_SEASON),
+        init,
+        step,
+    )
+    return s.select(
+        "suppkey",
+        "n_weeks",
+        F.round(st[0], 6).alias("hw_level"),
+        F.round(st[1], 6).alias("hw_trend"),
+        F.round(st[2], 6).alias("hw_seasonal_next"),
+        F.round(st[0] + st[1] + st[2], 6).alias("hw_forecast"),
+    )
