@@ -381,6 +381,11 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, "doc_id", "text", k=2, n_hashes=_LK_N_HASHES)
+    # the executed plan shows documents.parquet 4x, but ReusedExchange
+    # already dedupes the banding subtree — a localCheckpoint here
+    # measured SLOWER at sf0.1 AND sf1 (1.04->1.42 / 1.62->2.18): the
+    # scan-count audit over-reports when exchanges are reused, so the
+    # frame is left unmaterialized on purpose
     cands = dd.lsh_candidate_pairs(
         sigs, "doc_id", n_hashes=_LK_N_HASHES, band_size=_LK_BAND_SIZE
     )
