@@ -337,3 +337,33 @@ def test_bucketed_join_eliminates_both_exchanges(spark, sf_oracle, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_rfm_segments_broadcast_dim_single_fact_fold(spark, sf_oracle):
+    """The customer dim must broadcast onto orders (no fact sort-merge
+    join), and the anchor stays a broadcast nested loop."""
+    plan = _simple(spark, "rfm_segments", sf_oracle)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_velocity_filter_pushed_to_scan(spark, sf_oracle):
+    """The purchase-only filter must reach the parquet scan as a pushed
+    filter — the RANGE window never sees other event types."""
+    plan = _formatted(spark, "purchase_velocity_flags", sf_oracle)
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_fuzzy_search_uses_takeordered(spark, sf_oracle):
+    """Top-k over the scored vocabulary must be TakeOrderedAndProject
+    (per-partition heaps), never a global Sort + Limit."""
+    plan = _simple(spark, "char_trigram_fuzzy_search", sf_oracle)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_survival_curve_shuffle_budget(spark, sf_oracle):
+    """Two data shuffles (customer fold, lifetime fold) + the single-
+    partition window exchange — anything more means a re-derivation
+    crept in."""
+    plan = _simple(spark, "customer_survival_curve", sf_oracle)
+    assert plan.count("Exchange") <= 4
