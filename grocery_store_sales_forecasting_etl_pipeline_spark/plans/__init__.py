@@ -55,6 +55,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational2
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational29  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational30  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational31  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational32  # noqa: F401
 
 __all__ = [
     "REGISTRY",
