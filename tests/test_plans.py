@@ -367,3 +367,23 @@ def test_survival_curve_shuffle_budget(spark, sf_oracle):
     crept in."""
     plan = _simple(spark, "customer_survival_curve", sf_oracle)
     assert plan.count("Exchange") <= 4
+
+
+def test_late_ship_priority_pushed_range_scan(spark, sf_oracle):
+    """Q12 shape: the ship-date range must reach the lineitem scan as
+    pushed filters, and the scan reads only the 3 needed columns."""
+    plan = _formatted(spark, "late_ship_priority_matrix", sf_oracle)
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
+    assert "LessThan(l_shipdate,1998-01-01" in plan
+    assert "l_extendedprice" not in plan
+
+
+def test_dominant_suppliers_broadcast_semi_no_smj(spark, sf_oracle):
+    """Q20 shape: the part-family keys broadcast into a LeftSemi (the
+    fact never shuffles for the part filter), supplier/nation broadcast,
+    and the only hash exchanges are the keyed aggregate, the per-part
+    window, and the tiny output rollup."""
+    plan = _simple(spark, "part_dominant_suppliers", sf_oracle)
+    assert "LeftSemi, BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
