@@ -387,3 +387,27 @@ def test_dominant_suppliers_broadcast_semi_no_smj(spark, sf_oracle):
     assert "LeftSemi, BuildRight" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_chi2_single_scan_tiny_windows(spark, sf_oracle):
+    """Chi-square folds ONE orders scan into the <=15-row contingency
+    table; the marginal windows and final fold run over those rows."""
+    plan = _simple(spark, "priority_status_chi2", sf_oracle)
+    assert plan.count("FileScan") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_quota_sample_prefilter_before_window(spark, sf_oracle):
+    """The hash-prefix pre-filter must bound the window's input: the
+    stratum-count frame broadcasts, and no fact-grain sort-merge
+    appears."""
+    plan = _simple(spark, "lang_quota_sample", sf_oracle)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_approx_distinct_one_lineitem_scan(spark, sf_oracle):
+    """Both lineitem entities (part, supplier) fold in a single fact
+    scan — the stack pivot must not duplicate the subtree."""
+    plan = _simple(spark, "approx_distinct_audit", sf_oracle)
+    assert plan.count("lineitem.parquet") == 1
