@@ -179,37 +179,35 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: this is the pattern for trillion-row cardinality
     work — the HLL side is a fixed-size sketch mergeable across any
     partitioning (no shuffle of distinct values, unlike the exact
-    side's two-phase distinct). Both lineitem entities fold in ONE
-    fact scan (stack pivots the single agg row into two output rows —
-    no duplicate-subtree re-scan); production would drop the exact
-    column and keep only the sketch.
+    side's two-phase distinct). CRITICALLY, the exact and approx
+    aggregates run in SEPARATE scans joined at one row each: mixing
+    countDistinct with approx_count_distinct in ONE agg plans through
+    planAggregateWithOneDistinct, which evaluates the regular
+    aggregates GROUPED BY THE DISTINCT KEY in the partial phase — a
+    full HLL sketch per distinct key (measured 23.3s vs 0.68s + 1.38s
+    split, sf1; packing both lineitem entities into one multi-
+    distinct agg goes through Expand and is as bad). Two narrow
+    one-column scans beat either fused form by ~10x. Production would
+    drop the exact column and keep only the mergeable sketch.
     """
 
-    def within(exact, approx):
-        return F.abs(approx - exact) <= F.lit(0.15) * exact
+    def one(table: str, entity: str, key: str) -> DataFrame:
+        t = _t(spark, sf_dir, table)
+        exact = t.agg(F.countDistinct(key).cast("long").alias("n_exact"))
+        approx = t.agg(
+            F.approx_count_distinct(key, rsd=0.01).cast("long").alias("n_approx")
+        )
+        return exact.crossJoin(approx).select(
+            F.lit(entity).alias("entity"),
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.lit(0.15) * F.col("n_exact")
+            ).alias("approx_within_15pct"),
+        )
 
-    o = _t(spark, sf_dir, "orders").agg(
-        F.countDistinct("o_custkey").cast("long").alias("n_exact"),
-        F.approx_count_distinct("o_custkey", rsd=0.01).cast("long").alias("n_approx"),
+    return (
+        one("orders", "customer", "o_custkey")
+        .unionByName(one("lineitem", "part", "l_partkey"))
+        .unionByName(one("lineitem", "supplier", "l_suppkey"))
     )
-    cust = o.select(
-        F.lit("customer").alias("entity"),
-        "n_exact",
-        within(F.col("n_exact"), F.col("n_approx")).alias("approx_within_15pct"),
-    )
-    li = _t(spark, sf_dir, "lineitem").agg(
-        F.countDistinct("l_partkey").cast("long").alias("exact_p"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).cast("long").alias("approx_p"),
-        F.countDistinct("l_suppkey").cast("long").alias("exact_s"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).cast("long").alias("approx_s"),
-    )
-    both = li.select(
-        F.expr(
-            "stack(2, 'part', exact_p, approx_p, 'supplier', exact_s, approx_s)"
-        ).alias("entity", "n_exact", "n_approx")
-    ).select(
-        "entity",
-        "n_exact",
-        within(F.col("n_exact"), F.col("n_approx")).alias("approx_within_15pct"),
-    )
-    return cust.unionByName(both)

@@ -406,8 +406,15 @@ def test_quota_sample_prefilter_before_window(spark, sf_oracle):
     assert "SortMergeJoin" not in plan
 
 
-def test_approx_distinct_one_lineitem_scan(spark, sf_oracle):
-    """Both lineitem entities (part, supplier) fold in a single fact
-    scan — the stack pivot must not duplicate the subtree."""
+def test_approx_distinct_separate_exact_and_sketch_aggs(spark, sf_oracle):
+    """Exact countDistinct and the HLL sketch must aggregate in
+    SEPARATE scans: fusing them plans the sketch per distinct key in
+    the partial phase (23s vs 2s at sf1), and multi-distinct packing
+    goes through Expand. Neither Expand nor a partial HLL keyed by the
+    entity may appear; each entity costs two one-column scans."""
     plan = _simple(spark, "approx_distinct_audit", sf_oracle)
-    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" not in plan
+    assert plan.count("lineitem.parquet") == 4
+    # no partial aggregate may group the HLL by the distinct key
+    import re
+    assert not re.search(r"HashAggregate\(keys=\[[lo]_\w+#\d+L?\][^\n]*approx_count_distinct", plan)
