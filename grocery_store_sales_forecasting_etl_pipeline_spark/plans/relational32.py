@@ -57,15 +57,33 @@ def order_lines_contiguity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst case, double-counted quantity); each class reports order and
     line counts plus a deterministic example key.
 
-    Scale notes: ONE shuffle folds the fact to order grain (min/max/
-    count partials map-side; the distinct-count is the only two-phase
-    term); the classification is a map-only CASE and the rollup is 3
-    rows. This is the audit shape for ANY parent/child sequence column.
+    Scale notes: the distinct-count is a BITMASK aggregate, not
+    countDistinct — line numbers are a small-domain sequence (1..7
+    here; guarded to [0,62]), so ``bit_count(bit_or(1 << ln))`` gives
+    the exact distinct count as a plain aggregate. countDistinct
+    planned through planAggregateWithOneDistinct, whose partial phase
+    keys by (orderkey, linenumber) — the fact shuffles nearly
+    unreduced; the bitmask form combines map-side to one row per
+    order before the single exchange (paired in-session A/B at sf10,
+    alternating runs: 8.0s vs 12.3s median). Out-of-domain line
+    numbers raise loudly instead of wrapping the shift. The classification is a map-only CASE and
+    the rollup is 3 rows. This is the audit shape for ANY
+    parent/child sequence column with a bounded domain; beyond 63
+    values, fall back to countDistinct or a bitmap sketch.
     """
     li = _t(spark, sf_dir, "lineitem")
+    # SQL form: the Python shiftleft() wrapper only takes a literal
+    # shift, but the underlying expression shifts by a column.
+    mask_row = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "CASE WHEN l_linenumber BETWEEN 0 AND 62 THEN l_linenumber "
+        "ELSE CAST(raise_error(concat("
+        "'order_lines_contiguity_audit: l_linenumber outside [0,62]: ', "
+        "CAST(l_linenumber AS STRING))) AS INT) END)"
+    )
     g = li.groupBy("l_orderkey").agg(
         F.count("*").cast("long").alias("n_lines"),
-        F.countDistinct("l_linenumber").cast("long").alias("n_distinct"),
+        F.bit_count(F.bit_or(mask_row)).cast("long").alias("n_distinct"),
         F.min("l_linenumber").cast("long").alias("mn"),
         F.max("l_linenumber").cast("long").alias("mx"),
     )

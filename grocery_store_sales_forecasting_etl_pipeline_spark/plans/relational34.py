@@ -9,7 +9,7 @@ with one float division per output row; the quota sample ranks by
 md5 hex (bit-exact in both engines) with the key as tie-break; the
 HLL audit emits only the EXACT count plus a wide-margin accuracy
 boolean (Spark's HLL++ is deterministic for fixed data, and the
-claimed rsd=1% sits far inside the 15% assertion bound).
+claimed rsd=2% sits far inside the 15% assertion bound).
 """
 
 from __future__ import annotations
@@ -170,8 +170,8 @@ SELECT 'supplier', CAST(count(DISTINCT l_suppkey) AS BIGINT), TRUE FROM lineitem
 def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality-sketch audit: HyperLogLog++ estimate vs the exact
     distinct count per entity, asserting the estimate lands within a
-    wide 15% band (the sketch is configured at rsd=1%, so the band is
-    a ~15-sigma margin — a FALSE here means the sketch path is
+    wide 15% band (the sketch is configured at rsd=2%, so the band is
+    a ~7.5-sigma margin — a FALSE here means the sketch path is
     broken, not noisy). The exact count and the pass flag are the
     output; the estimate itself stays out of the hash because HLL
     register layouts are engine-specific.
@@ -195,7 +195,7 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = _t(spark, sf_dir, table)
         exact = t.agg(F.countDistinct(key).cast("long").alias("n_exact"))
         approx = t.agg(
-            F.approx_count_distinct(key, rsd=0.01).cast("long").alias("n_approx")
+            F.approx_count_distinct(key, rsd=0.02).cast("long").alias("n_approx")
         )
         return exact.crossJoin(approx).select(
             F.lit(entity).alias("entity"),
