@@ -58,6 +58,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational3
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational32  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational33  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational34  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational35  # noqa: F401
 
 __all__ = [
     "REGISTRY",

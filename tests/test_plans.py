@@ -418,3 +418,27 @@ def test_approx_distinct_separate_exact_and_sketch_aggs(spark, sf_oracle):
     # no partial aggregate may group the HLL by the distinct key
     import re
     assert not re.search(r"HashAggregate\(keys=\[[lo]_\w+#\d+L?\][^\n]*approx_count_distinct", plan)
+
+
+def test_fk_orphan_audit_broadcast_anti_no_fact_shuffle(spark, sf_oracle):
+    """Every FK leg must be a broadcast LeftAnti (dim keys build side)
+    — the facts never hash-shuffle for the integrity check."""
+    plan = _simple(spark, "fk_orphan_audit", sf_oracle)
+    assert plan.count("LeftAnti, BuildRight") == 4
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_skew_diagnostics_one_shuffle_per_key(spark, sf_oracle):
+    """Each key leg costs exactly one map-combined shuffle to key
+    grain; the hottest-key tie-break is a struct-min fold, never a
+    window over fact grain."""
+    plan = _simple(spark, "join_key_skew_diagnostics", sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Window" not in plan
+
+
+def test_group_percentiles_single_scan_single_shuffle(spark, sf_oracle):
+    plan = _simple(spark, "group_percentiles_exact", sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
