@@ -153,3 +153,18 @@ def test_group_percentiles_ordered_and_counted(spark):
     assert sum(r["n_rows"] for r in rows) == li_n
     for r in rows:
         assert r["p25"] <= r["p50"] <= r["p75"] <= r["p99"]
+
+
+def test_order_reconciliation_buckets_partition_orders(spark):
+    """Buckets partition ALL orders; the no_lines count equals an
+    independent anti-join count; drift is zero only where defined."""
+    rows = {r["bucket"]: r for r in plans.REGISTRY["order_total_reconciliation"].build(spark, SF).collect()}
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert sum(r["n_orders"] for r in rows.values()) == o.count()
+    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").count()
+    assert rows["no_lines"]["n_orders"] == childless
+    assert rows["no_lines"]["abs_drift_cents"] == 0
+    for name, r in rows.items():
+        if name not in ("no_lines", "exact"):
+            assert r["abs_drift_cents"] > 0
