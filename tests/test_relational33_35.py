@@ -168,3 +168,26 @@ def test_order_reconciliation_buckets_partition_orders(spark):
     for name, r in rows.items():
         if name not in ("no_lines", "exact"):
             assert r["abs_drift_cents"] > 0
+
+
+def test_anova_replays_from_sufficient_stats(spark):
+    """F replays from a raw python fold of (n, sum, sumsq) per flag;
+    ss_between + ss_within equals total sum of squares."""
+    row = plans.REGISTRY["returnflag_price_anova"].build(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    stats: dict[str, list[int]] = {}
+    for r in li:
+        c = math.floor(r["l_extendedprice"] * 100 + 0.5)
+        st = stats.setdefault(r["l_returnflag"], [0, 0, 0])
+        st[0] += 1; st[1] += c; st[2] += c * c
+    k = len(stats); n = sum(s[0] for s in stats.values())
+    s = float(sum(s[1] for s in stats.values())); q = float(sum(s[2] for s in stats.values()))
+    sb_part = sum(float(v[1]) * float(v[1]) / v[0] for v in stats.values())
+    ssb = sb_part - s * s / n; ssw = q - sb_part
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (row["n_groups"], row["n_rows"]) == (k, n)
+    assert row["dof_between"] == k - 1 and row["dof_within"] == n - k
+    assert abs(row["f_stat"] - f) < 1e-3
+    assert abs(row["ss_between"] + row["ss_within"] - (q - s * s / n) / 1e4) < 1.0
