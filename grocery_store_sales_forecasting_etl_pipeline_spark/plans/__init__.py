@@ -61,6 +61,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational3
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational35  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational36  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational37  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational38  # noqa: F401
 
 __all__ = [
     "REGISTRY",

@@ -191,3 +191,16 @@ def test_anova_replays_from_sufficient_stats(spark):
     assert row["dof_between"] == k - 1 and row["dof_within"] == n - k
     assert abs(row["f_stat"] - f) < 1e-3
     assert abs(row["ss_between"] + row["ss_within"] - (q - s * s / n) / 1e4) < 1.0
+
+
+def test_benford_shares_and_counts_reconcile(spark):
+    """Observed shares sum to ~1, counts sum to the positive-price
+    line count, and the benford shares are the theoretical law."""
+    rows = plans.REGISTRY["benford_first_digit_audit"].build(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n_pos = li.filter(li.l_extendedprice > 0).count()
+    assert sum(r["n"] for r in rows) == n_pos
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["benford_share"] - math.log10(1 + 1 / r["digit"])) < 1e-9
+        assert abs(r["abs_dev"] - abs(r["observed_share"] - r["benford_share"])) < 2e-6
