@@ -331,11 +331,17 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude smaller than shingle frames); first-occurrence is ONE
     window over the passage-hash partition (min over (doc_id, pos)) —
     the doc_novelty shape, no groupBy-min + join-back double scan —
-    then one doc-keyed rollup. Passages are carried as 64-bit xxhash64
+    then one doc-keyed rollup. Passages are carried as 128-bit md5
     keys, never the raw text, so the shuffle width is constant per
     passage; explode_outer suppresses InferFiltersFromGenerate
     re-inlining the chunk builder into the scan filter (the
-    benchmark_decontam lesson).
+    benchmark_decontam lesson). Passages shuffle as 128-bit md5 keys
+    (not 64-bit xxhash64): at the 100 TB target the corpus holds
+    billions of chunks, where 64-bit birthday collisions are expected
+    (~50% at 5e9 keys) and would silently merge distinct passages;
+    md5's 2^128 space keeps the corpus-wide collision probability
+    below ~1e-18 at that scale while the shuffle key stays constant
+    width (32 hex chars).
     """
     d = _t(spark, sf_dir, "documents")
     t = d.filter(F.col("text").isNotNull()).select(
@@ -359,7 +365,7 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(_CHUNK), F.col("n_tok") - F.col("pos") * _CHUNK).alias(
                 "chunk_toks"
             ),
-            F.xxhash64(F.concat_ws(" ", F.col("chunk"))).alias("chunk_key"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_key"),
         )
     )
     rn = F.row_number().over(

@@ -59,7 +59,7 @@ s AS (
 )
 SELECT CAST(max(n_r) AS BIGINT) AS n_r,
        CAST(max(n_n) AS BIGINT) AS n_n,
-       CAST(max(diff) AS BIGINT) AS d_star,
+       CAST(max(diff) AS DECIMAL(38,0)) AS d_star,
        CAST(min(CASE WHEN diff = (SELECT max(diff) FROM s) THEN delay END) AS BIGINT)
          AS delay_at_max,
        round(CAST(max(diff) AS DOUBLE) / (CAST(max(n_r) AS DOUBLE) * max(n_n)), 6)
@@ -80,7 +80,9 @@ def ship_delay_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cum_r * n_n - cum_n * n_r| accumulated in DECIMAL(38,0)/HUGEINT
     (cum * n crosses BIGINT once both samples pass ~3e9 rows), so the
     max and its argmin-delay are exact; the single division to D
-    happens once at the boundary.
+    happens once at the boundary. d_star is EMITTED as DECIMAL(38,0)
+    too — a BIGINT output cast would itself overflow at exactly the
+    sample sizes the internal HUGEINT math was chosen to survive.
 
     Scale notes: the fact-fact join runs on the shared orderkey (the
     co-partitioned/bucketed join shape — see the bucketed-join plan
@@ -131,7 +133,7 @@ def ship_delay_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_r").cast("long").alias("n_r"),
             F.max("n_n").cast("long").alias("n_n"),
-            F.max("diff").cast("long").alias("d_star"),
+            F.max("diff").cast("decimal(38,0)").alias("d_star"),
             F.min(F.when(F.col("diff") == F.col("mx"), F.col("delay")))
             .cast("long")
             .alias("delay_at_max"),

@@ -30,12 +30,18 @@ WITH cell_counts AS (
          CAST(count(*) AS BIGINT) AS n
   FROM orders GROUP BY 1, 2
 ),
+dense AS (
+  SELECT p.prio, s.status, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT prio FROM cell_counts) p
+  CROSS JOIN (SELECT DISTINCT status FROM cell_counts) s
+  LEFT JOIN cell_counts c ON c.prio = p.prio AND c.status = s.status
+),
 tot AS (
   SELECT prio, status, n,
          sum(n) OVER (PARTITION BY prio) AS row_n,
          sum(n) OVER (PARTITION BY status) AS col_n,
          sum(n) OVER () AS all_n
-  FROM cell_counts
+  FROM dense
 )
 SELECT CAST(count(*) AS BIGINT) AS n_cells,
        CAST(max(all_n) AS BIGINT) AS n_rows,
@@ -56,18 +62,29 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares chi2_stat against the critical value for dof.
 
     Scale notes: ONE fact scan folds to the |prio|x|status| (<= 15
-    row) contingency table with map-side partials; the marginals are
-    windows over those 15 rows (driver-trivial), and the statistic is
-    a 15-row fold. Integer counts make every term exact until the
-    single rounded float.
+    row) contingency table with map-side partials; the table is then
+    DENSIFIED (distinct-prio x distinct-status cross join, absent
+    cells filled with n=0) so zero-count combinations still contribute
+    their expected-count term (0-E)^2/E = E to the statistic — without
+    this the chi2 value is understated whenever a cell is empty. The
+    marginals are windows over those <= 15 rows (driver-trivial), and
+    the statistic is a 15-row fold. Integer counts make every term
+    exact until the single rounded float.
     """
     o = _t(spark, sf_dir, "orders")
-    cells = (
+    observed = (
         o.groupBy(
             F.col("o_orderpriority").alias("prio"),
             F.col("o_orderstatus").alias("status"),
         )
         .agg(F.count("*").cast("long").alias("n"))
+    )
+    prios = observed.select("prio").distinct()
+    statuses = observed.select("status").distinct()
+    cells = (
+        prios.crossJoin(F.broadcast(statuses))
+        .join(F.broadcast(observed), ["prio", "status"], "left")
+        .select("prio", "status", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
     )
     w_all = Window.partitionBy()
     tot = (
