@@ -82,11 +82,13 @@ def test_chi2_replays_from_contingency(spark):
     for (p, s), c in cells.items():
         rows_m[p] = rows_m.get(p, 0) + c
         cols_m[s] = cols_m.get(s, 0) + c
+    # densified: zero-count cells still contribute (0-E)^2/E = E
+    dense = {(p, s): cells.get((p, s), 0) for p in rows_m for s in cols_m}
     stat = sum(
         (c - rows_m[p] * cols_m[s] / n) ** 2 / (rows_m[p] * cols_m[s] / n)
-        for (p, s), c in cells.items()
+        for (p, s), c in dense.items()
     )
-    assert row["n_rows"] == n and row["n_cells"] == len(cells)
+    assert row["n_rows"] == n and row["n_cells"] == len(dense)
     assert row["dof"] == (len(rows_m) - 1) * (len(cols_m) - 1)
     # half-away rounding like the kernels (stat is positive)
     assert row["chi2_stat"] == math.floor(stat * 1e4 + 0.5) / 1e4
