@@ -342,12 +342,17 @@ def weekly_qty_revenue_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date"),
         (F.dayofweek(F.col("l_shipdate").cast("date")) + F.lit(5)) % F.lit(7),
     )
+    # localCheckpoint: BOTH self-join sides derive from this week-grain
+    # frame — without it each side re-runs the full fact scan+agg (the
+    # multi-derivation scan trap; sf1 probe measured 4.1x at 10x data,
+    # 2.0x after). The frame is calendar-bounded (~100 rows), so
+    # materialization is free.
     w = li.groupBy(monday.alias("week_start")).agg(
         F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("qty"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
         .cast("long")
         .alias("rev"),
-    )
+    ).localCheckpoint(eager=False)
     a = w.select(
         F.col("week_start").alias("ws_a"), F.col("qty").alias("qa"), F.col("rev").alias("ra")
     )
