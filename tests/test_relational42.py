@@ -1,0 +1,125 @@
+"""Invariant tests for batch 42: the Markov steady state checked as a
+fixed point, Theil-Sen against a literal O(w^2) python median, RRF
+against recomputed ranker lists, shrinkage against pooling algebra."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from grocery_store_sales_forecasting_etl_pipeline_spark import plans
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_markov_stationary_is_a_fixed_point(spark):
+    rows = plans.REGISTRY["event_markov_stationary"].build(spark, SF).collect()
+    pi = {r["state"]: r["stationary_prob"] for r in rows}
+    # probabilities form a distribution
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    assert all(p >= 0 for p in pi.values())
+    # rebuild the transition matrix and check pi P ~= pi (the iterate
+    # has converged well inside the output rounding at 12 steps)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .count()
+        .collect()
+    )
+    states = set(pi)
+    counts = {(r["prev"], r["event_type"]): r["count"] for r in seq if r["event_type"] in states}
+    rowsum = {}
+    for (f, _), n in counts.items():
+        rowsum[f] = rowsum.get(f, 0) + n
+    nxt = {s: 0.0 for s in states}
+    for (f, t), n in counts.items():
+        nxt[t] += pi[f] * n / rowsum[f]
+    for s in states:
+        assert abs(nxt[s] - pi[s]) < 5e-4, s
+    # n_out matches the raw transition totals
+    for r in rows:
+        assert r["n_out"] == rowsum[r["state"]]
+
+
+def test_theil_sen_replays_with_double_loop(spark):
+    row = plans.REGISTRY["theil_sen_weekly_trend"].build(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    monday = F.date_sub(
+        F.col("l_shipdate").cast("date"),
+        (F.dayofweek(F.col("l_shipdate").cast("date")) + F.lit(5)) % F.lit(7),
+    )
+    wk = (
+        li.groupBy(monday.alias("ws"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("y"))
+        .collect()
+    )
+    pts = sorted((r["ws"], r["y"]) for r in wk)
+    w0 = pts[0][0]
+    xy = [((p[0] - w0).days // 7, p[1]) for p in pts]
+    slopes = sorted(
+        (xy[j][1] - xy[i][1]) / (xy[j][0] - xy[i][0])
+        for i in range(len(xy))
+        for j in range(i + 1, len(xy))
+    )
+    m = len(slopes)
+    med = (slopes[(m + 1) // 2 - 1] + slopes[(m + 2) // 2 - 1]) / 2
+    assert row["n_weeks"] == len(xy)
+    assert row["n_pairs"] == m
+    assert abs(row["ts_slope"] - med) < 1e-3
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    sxy = sum(x * y for x, y in xy)
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row["ols_slope"] - ols) < 1e-3
+
+
+def test_rrf_ranks_and_scores_are_consistent(spark):
+    rows = plans.REGISTRY["hybrid_rrf_search"].build(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    seen = set()
+    prev = None
+    for r in rows:
+        assert r["doc_id"] not in seen
+        seen.add(r["doc_id"])
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            assert 1 <= r["bm25_rank"] <= 100
+            expect += 1 / (60 + r["bm25_rank"])
+        if r["trigram_rank"] is not None:
+            assert 1 <= r["trigram_rank"] <= 100
+            expect += 1 / (60 + r["trigram_rank"])
+        assert r["bm25_rank"] is not None or r["trigram_rank"] is not None
+        assert abs(r["rrf_score"] - expect) < 1e-5
+        if prev is not None:
+            assert r["rrf_score"] <= prev + 1e-12  # descending
+        prev = r["rrf_score"]
+    # a doc ranked #1 by BOTH rankers would score 2/61; top output must
+    # be at least the best single-ranker score
+    assert rows[0]["rrf_score"] >= 1 / 61 - 1e-9
+
+
+def test_shrinkage_pools_toward_prior_mean(spark):
+    rows = plans.REGISTRY["empirical_bayes_return_rates"].build(spark, SF).collect()
+    rates = [r["n_returns"] / r["n_lines"] for r in rows]
+    k = len(rates)
+    m = sum(rates) / k
+    v = (sum(x * x for x in rates) - sum(rates) ** 2 / k) / (k - 1)
+    kappa = m * (1 - m) / v - 1
+    assert kappa > 0
+    for r in rows:
+        raw = r["n_returns"] / r["n_lines"]
+        shrunk = (r["n_returns"] + m * kappa) / (r["n_lines"] + kappa)
+        assert abs(r["raw_rate"] - raw) < 1e-5
+        assert abs(r["shrunk_rate"] - shrunk) < 1e-4
+        # shrinkage moves every rate strictly toward the prior mean
+        # (never past it), proportionally more for small samples
+        lo, hi = sorted((raw, m))
+        assert lo - 1e-9 <= shrunk <= hi + 1e-9
