@@ -72,12 +72,16 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact until the single rounded float.
     """
     o = _t(spark, sf_dir, "orders")
+    # localCheckpoint: the densification consumes this <=15-row frame
+    # three times (distinct prios, distinct statuses, the left join) —
+    # without it each derivation re-runs the fact scan+fold
     observed = (
         o.groupBy(
             F.col("o_orderpriority").alias("prio"),
             F.col("o_orderstatus").alias("status"),
         )
         .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
     prios = observed.select("prio").distinct()
     statuses = observed.select("status").distinct()

@@ -391,9 +391,13 @@ def test_dominant_suppliers_broadcast_semi_no_smj(spark, sf_oracle):
 
 def test_chi2_single_scan_tiny_windows(spark, sf_oracle):
     """Chi-square folds ONE orders scan into the <=15-row contingency
-    table; the marginal windows and final fold run over those rows."""
+    table; the marginal windows and final fold run over those rows.
+    Since the r6 densification the contingency frame is
+    localCheckpointed (three consumers), so the fact scan sits behind
+    a LogicalRDD boundary and the visible plan shows <= 1 FileScan —
+    the guard pins that no SECOND fact scan ever reappears."""
     plan = _simple(spark, "priority_status_chi2", sf_oracle)
-    assert plan.count("FileScan") == 1
+    assert plan.count("FileScan") <= 1
     assert "SortMergeJoin" not in plan
 
 
