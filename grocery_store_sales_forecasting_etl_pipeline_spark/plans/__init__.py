@@ -68,6 +68,8 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational4
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational42  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational43  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational44  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational45  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational46  # noqa: F401
 
 __all__ = [
     "REGISTRY",
