@@ -1,0 +1,459 @@
+"""Round-6 additions, batch 52: robust decomposition and governance —
+Tukey's median polish over the nation x quarter revenue matrix (the
+outlier-proof two-way decomposition, two full sweeps in pure
+relational algebra), a trailing rolling MEDIAN smoother (the
+order-statistic window built-ins don't give you portably), a
+class-balance downsampling audit (the deterministic negative-sampling
+rate a training pipeline applies to imbalanced labels), and a
+k-anonymity / l-diversity audit (the privacy screen a governed
+platform runs before sharing a quasi-identified extract).
+
+Determinism discipline: every median is the LOWER median — the exact
+order statistic at rank (n+1)//2, integer in and integer out, so the
+entire median-polish recursion stays in BIGINT cents and never
+touches a float until the output boundary; the downsample predicate
+is the integer cross-multiplication idiom (md5-u24 * n_neg <
+n_pos * 2^24 — bit-exact in both engines, no float rates); the
+k-anonymity counts are plain BIGINT folds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Tukey median polish (nation x quarter, 2 sweeps)
+# ---------------------------------------------------------------------------
+
+_POLISH_ORACLE = """
+WITH cells AS (
+  SELECT n.n_name AS nation,
+         CAST(year(l.l_shipdate) * 10 + quarter(l.l_shipdate) AS BIGINT) AS yq,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+r1 AS (  -- sweep 1: row medians
+  SELECT nation, yq, v,
+         CAST(quantile_disc(v, 0.5) OVER (PARTITION BY nation) AS BIGINT) AS rm
+  FROM cells
+),
+r1s AS (
+  SELECT nation, yq, v, rm, v - rm AS res FROM r1
+),
+c1 AS (  -- sweep 1: column medians of residuals
+  SELECT nation, yq, v, rm, res,
+         CAST(quantile_disc(res, 0.5) OVER (PARTITION BY yq) AS BIGINT) AS cm
+  FROM r1s
+),
+c1s AS (
+  SELECT nation, yq, v, rm AS row_eff, cm AS col_eff, res - cm AS res FROM c1
+),
+r2 AS (  -- sweep 2: row medians of residuals
+  SELECT *,
+         CAST(quantile_disc(res, 0.5) OVER (PARTITION BY nation) AS BIGINT) AS rm2
+  FROM c1s
+),
+r2s AS (
+  SELECT nation, yq, v, row_eff + rm2 AS row_eff, col_eff,
+         res - rm2 AS res
+  FROM r2
+),
+c2 AS (  -- sweep 2: column medians of residuals
+  SELECT *,
+         CAST(quantile_disc(res, 0.5) OVER (PARTITION BY yq) AS BIGINT) AS cm2
+  FROM r2s
+)
+SELECT nation, yq, v AS cell_cents,
+       row_eff,
+       col_eff + cm2 AS col_eff,
+       res - cm2 AS residual_cents
+FROM c2
+"""
+
+
+@register("median_polish_revenue", oracle=_POLISH_ORACLE, tags=("stats", "window"))
+def median_polish_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's median polish of the nation x quarter revenue matrix —
+    two full sweeps (rows then columns, twice) of median subtraction,
+    decomposing each cell into row effect + column effect + residual.
+    The robust twin of two-way ANOVA: a single anomalous
+    nation-quarter shifts ITS residual, not every estimate in its row
+    and column — which is why the residual column here is the honest
+    anomaly score for matrix-shaped revenue data. (Variant note: the
+    overall-constant extraction is folded into the row effects rather
+    than reported separately; identical on both sides.)
+
+    Numerics: the median is everywhere the LOWER median — DuckDB
+    quantile_disc(0.5) and the Spark rank-(n+1)//2 order statistic
+    agree exactly — so every intermediate stays an exact BIGINT cents
+    value through all four median passes; no float enters the
+    recursion at all.
+
+    Scale notes: one fact fold to the nation x quarter cell frame
+    (calendar x dimension bounded, ~200 rows regardless of fact size)
+    after broadcast dim joins; the four median windows run on that
+    tiny frame. At 100 TB only the first fold touches data.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("l_shipdate") * 10 + F.quarter("l_shipdate"))
+            .cast("long")
+            .alias("yq"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def med_over(col: str, part: str):
+        """Lower median of `col` within `part`: the order statistic at
+        rank (n+1)//2 — matches DuckDB quantile_disc(0.5) exactly."""
+        w_rank = Window.partitionBy(part).orderBy(col)
+        w_all = Window.partitionBy(part)
+        picked = F.when(
+            F.row_number().over(w_rank)
+            == F.floor((F.count("*").over(w_all) + 1) / 2),
+            F.col(col),
+        )
+        return F.max(picked).over(w_all).cast("long")
+
+    r1 = cells.withColumn("rm", med_over("v", "nation"))
+    r1s = r1.withColumn("res", F.col("v") - F.col("rm"))
+    c1 = r1s.withColumn("cm", med_over("res", "yq"))
+    c1s = c1.select(
+        "nation",
+        "yq",
+        "v",
+        F.col("rm").alias("row_eff"),
+        F.col("cm").alias("col_eff"),
+        (F.col("res") - F.col("cm")).alias("res"),
+    )
+    r2 = c1s.withColumn("rm2", med_over("res", "nation"))
+    r2s = r2.select(
+        "nation",
+        "yq",
+        "v",
+        (F.col("row_eff") + F.col("rm2")).alias("row_eff"),
+        "col_eff",
+        (F.col("res") - F.col("rm2")).alias("res"),
+    )
+    c2 = r2s.withColumn("cm2", med_over("res", "yq"))
+    return c2.select(
+        "nation",
+        "yq",
+        F.col("v").alias("cell_cents"),
+        "row_eff",
+        (F.col("col_eff") + F.col("cm2")).alias("col_eff"),
+        (F.col("res") - F.col("cm2")).alias("residual_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing rolling median (order-statistic window)
+# ---------------------------------------------------------------------------
+
+_ROLLMED_ORACLE = """
+WITH wd AS (
+  SELECT p.p_brand AS brand,
+         CAST(date_trunc('week', l.l_shipdate) AS DATE) AS week_start,
+         CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT brand, week_start, d,
+         list(d) OVER (PARTITION BY brand ORDER BY week_start
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win
+  FROM wd
+)
+SELECT brand, week_start, d AS demand_centi,
+       CAST(len(win) AS BIGINT) AS win_n,
+       CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT)
+         AS rolling_median_centi
+FROM r
+"""
+
+
+@register(
+    "rolling_median_demand", oracle=_ROLLMED_ORACLE, tags=("window", "timeseries")
+)
+def rolling_median_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-week rolling MEDIAN of weekly brand demand — the
+    robust smoother that ignores single-week spikes where a rolling
+    mean chases them. Neither engine has a median window built-in with
+    portable semantics, so both sides materialize the frame as a list
+    and select the lower-median order statistic — the window-as-array
+    idiom, exact because demand is integer centi-units.
+
+    Scale notes: one (brand, week) fact fold, then a per-brand window
+    over the calendar-bounded weekly frame with a 5-element collected
+    list per row — state bounded by the frame width, not the data. The
+    array never crosses the output boundary (driver canonicalizer
+    rule); only the selected scalar does.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    wd = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", "l_shipdate").cast("date").alias("week_start"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("week_start")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    r = wd.select(
+        "brand",
+        "week_start",
+        F.col("d").alias("demand_centi"),
+        F.sort_array(F.collect_list("d").over(w)).alias("win"),
+    )
+    return r.select(
+        "brand",
+        "week_start",
+        "demand_centi",
+        F.size("win").cast("long").alias("win_n"),
+        F.element_at(
+            F.col("win"), F.floor((F.size("win") + 1) / 2).cast("int")
+        )
+        .cast("long")
+        .alias("rolling_median_centi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance downsampling audit
+# ---------------------------------------------------------------------------
+
+_BALANCE_ORACLE = """
+WITH lab AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS segment,
+         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS pos
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+             WHERE l_returnflag = 'R') r
+    ON o.o_orderkey = r.l_orderkey
+),
+cnt AS (
+  SELECT segment,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+  FROM lab GROUP BY segment
+),
+kept AS (
+  SELECT l.segment,
+         CAST(count(*) AS BIGINT) AS n_maj_kept
+  FROM lab l JOIN cnt c ON l.segment = c.segment
+  WHERE ((c.n_pos > c.n_neg AND l.pos = 1)
+         OR (c.n_pos <= c.n_neg AND l.pos = 0))
+    AND ('0x' || substr(md5('bal:' || CAST(l.o_orderkey AS VARCHAR)), 1, 6))
+        ::BIGINT * greatest(c.n_pos, c.n_neg)
+        < least(c.n_pos, c.n_neg) * 16777216
+  GROUP BY l.segment
+)
+SELECT c.segment, c.n_pos, c.n_neg,
+       least(c.n_pos, c.n_neg) AS n_minority,
+       greatest(c.n_pos, c.n_neg) AS n_majority,
+       k.n_maj_kept,
+       round(CAST(k.n_maj_kept AS DOUBLE) / greatest(c.n_pos, c.n_neg), 6)
+         AS kept_ratio,
+       round(CAST(least(c.n_pos, c.n_neg) AS DOUBLE)
+             / (least(c.n_pos, c.n_neg) + k.n_maj_kept), 6) AS balance_after
+FROM cnt c JOIN kept k ON c.segment = k.segment
+"""
+
+
+@register(
+    "class_balance_downsample", oracle=_BALANCE_ORACLE, tags=("ml-eval", "sampling")
+)
+def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic majority-class downsampling to class balance,
+    audited per segment: whichever label class is larger is sampled at
+    rate minority/majority via md5_u24 * majority < minority * 2^24 —
+    the integer cross-multiplication sampling idiom (no float rate,
+    bit-exact in both engines, append-stable) — so the kept majority
+    count lands within binomial noise of the minority size. Direction
+    is decided PER SEGMENT from the counts (in this corpus the
+    has-return label is majority-positive), which is exactly what a
+    real rebalancer must do. The audit emits the achieved ratio and
+    post-balance minority share, the two numbers a training pipeline
+    checks before trusting its loss weighting.
+
+    Scale notes: per-segment counts fold map-side to a 5-row frame and
+    broadcast back; the keep predicate is codegen on the scan (the
+    md5 is the only per-row cost); the audit fold is segment-keyed.
+    Nothing fact-grain shuffles twice.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ret = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+        .withColumn("pos1", F.lit(1))
+    )
+    lab = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(ret, o.o_orderkey == ret.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce(F.col("pos1"), F.lit(0)).alias("pos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cnt = lab.groupBy("segment").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    u24 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bal:"), F.col("o_orderkey").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    is_majority_row = (
+        (F.col("n_pos") > F.col("n_neg")) & (F.col("pos") == 1)
+    ) | ((F.col("n_pos") <= F.col("n_neg")) & (F.col("pos") == 0))
+    minority = F.least(F.col("n_pos"), F.col("n_neg"))
+    majority = F.greatest(F.col("n_pos"), F.col("n_neg"))
+    kept = (
+        lab.join(F.broadcast(cnt), "segment")
+        .filter(is_majority_row)
+        .filter(u24 * majority < minority * F.lit(16777216))
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n_maj_kept"))
+    )
+    return (
+        cnt.join(kept, "segment")
+        .select(
+            "segment",
+            "n_pos",
+            "n_neg",
+            minority.alias("n_minority"),
+            majority.alias("n_majority"),
+            "n_maj_kept",
+            F.round(F.col("n_maj_kept").cast("double") / majority, 6).alias(
+                "kept_ratio"
+            ),
+            F.round(
+                minority.cast("double") / (minority + F.col("n_maj_kept")), 6
+            ).alias("balance_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH qi AS (
+  SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         o.o_orderpriority AS sensitive
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+cls AS (
+  SELECT segment, nation, yr,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT sensitive) AS BIGINT) AS l
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k5,
+       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_k5,
+       CAST(min(l) AS BIGINT) AS l_min,
+       CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_l2,
+       CAST(sum(k) AS BIGINT) AS n_rows
+FROM cls
+"""
+
+
+@register("k_anonymity_audit", oracle=_KANON_ORACLE, tags=("profiling", "agg"))
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity and l-diversity audit of the quasi-identifier set
+    (market segment, customer nation, order year) with order priority
+    as the sensitive attribute: the minimum equivalence-class size
+    (k), how many classes and rows fall below k=5 (the re-identifiable
+    sliver a release gate must suppress or generalize), and the
+    minimum sensitive-attribute diversity (l) — the screen a governed
+    data platform runs before approving an extract.
+
+    Scale notes: one fold keyed by the quasi-identifier tuple
+    (map-side combinable; class cardinality is bounded by the QI
+    domain product, not row count) computing size and ONE distinct
+    count — no multi-distinct fusion — then a single summary
+    aggregate over the class frame.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    qi = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    cls = qi.groupBy("segment", "nation", "yr").agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct("sensitive").cast("long").alias("l"),
+    )
+    return cls.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_k5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_k5"),
+        F.min("l").cast("long").alias("l_min"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_l2"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
