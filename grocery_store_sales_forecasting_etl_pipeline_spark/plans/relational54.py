@@ -193,13 +193,19 @@ _SIGN_SKETCH_ORACLE = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
+pa AS (
+  SELECT vec_id, e FROM v WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 20
+),
+pb AS (
+  SELECT vec_id, e FROM v WHERE vec_id % 25 = 7 ORDER BY vec_id LIMIT 20
+),
 pairs AS (
   SELECT a.vec_id AS id_1, b.vec_id AS id_2,
          CAST(list_sum(list_transform(range(1, len(a.e) + 1),
               i -> CASE WHEN (a.e[i] > 0) <> (b.e[i] > 0)
                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
          round(list_cosine_similarity(a.e, b.e), 4) AS cosine_sim
-  FROM v a JOIN v b ON a.vec_id % 25 = 0 AND b.vec_id % 25 = 7
+  FROM pa a CROSS JOIN pb b
 ),
 sc AS (
   SELECT id_1, id_2, hamming, cosine_sim,
@@ -248,17 +254,29 @@ def sign_sketch_hamming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance, so the Pearson derives entirely from
     DECIMAL(38,0)/HUGEINT sufficient statistics.
 
-    Scale notes: the pair grid is modulus-sampled on both sides (a
-    bounded audit panel, not all-pairs); each pair's fold is one
-    fixed-order zip_with kernel in codegen; the correlation is a
-    window-free scalar aggregate broadcast back onto the panel.
+    Scale notes: the audit panel is the 20 smallest qualifying ids per
+    side (TakeOrderedAndProject top-k — bounded at ANY corpus size; a
+    bare modulus filter grew pairs quadratically, 5.5x at the 10x
+    probe); each pair's fold is one fixed-order zip_with kernel in
+    codegen; the correlation is a window-free scalar aggregate
+    broadcast back onto the panel.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("id_1"), F.col("embedding").alias("ea")
+    # bounded audit panel: 20 smallest qualifying ids per side (a
+    # TakeOrderedAndProject top-k, no global sort) — a bare modulus
+    # filter grows linearly per side and QUADRATICALLY in pairs
+    # (measured 5.5x at the 10x probe before the cap)
+    a = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("ea"))
+        .orderBy("id_1")
+        .limit(20)
     )
-    b = emb.filter(F.col("vec_id") % 25 == 7).select(
-        F.col("vec_id").alias("id_2"), F.col("embedding").alias("eb")
+    b = (
+        emb.filter(F.col("vec_id") % 25 == 7)
+        .select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("eb"))
+        .orderBy("id_2")
+        .limit(20)
     )
     dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
     na = "aggregate(ea, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
@@ -430,11 +448,14 @@ def supplier_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VMR_ORACLE = """
-WITH lc AS (
+WITH oc AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_orderkey
+),
+lc AS (
   SELECT o.o_orderpriority AS priority,
-         CAST(count(l.l_orderkey) AS BIGINT) AS n_lines
-  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-  GROUP BY o.o_orderkey, o.o_orderpriority
+         CAST(coalesce(oc.c, 0) AS BIGINT) AS n_lines
+  FROM orders o LEFT JOIN oc ON o.o_orderkey = oc.l_orderkey
 ),
 st AS (
   SELECT priority,
@@ -462,18 +483,22 @@ def order_linecount_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson-derived sampling plan on this data, and the left join
     counts zero-line orders honestly.
 
-    Scale notes: the per-order count fold runs on the natural join key
-    (orderkey co-partition), then a priority-keyed fold to 5 sufficient
-    -statistic rows (q in DECIMAL(38,0)/HUGEINT); no windows, no
-    data-grain second shuffle.
+    Scale notes: lineitem pre-aggregates to order grain FIRST (map-side
+    combinable fold — joining raw lines to orders and grouping the
+    joined fact was measured 6.7x at the 10x probe; folding first cut
+    it to the natural co-keyed order-grain join), then a priority-keyed
+    fold to 5 sufficient-statistic rows (q in DECIMAL(38,0)/HUGEINT);
+    no windows, no data-grain second shuffle.
     """
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    oc = li.groupBy("l_orderkey").agg(F.count("*").cast("long").alias("c"))
     lc = (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left")
-        .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.count("l_orderkey").cast("long").alias("n_lines"))
-        .select(F.col("o_orderpriority").alias("priority"), "n_lines")
+        o.join(oc, o.o_orderkey == oc.l_orderkey, "left")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_lines"),
+        )
     )
     d38 = "decimal(38,0)"
     st = lc.groupBy("priority").agg(
