@@ -51,10 +51,10 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def time_query(spark, build, sf_dir: str) -> float:
+def time_query(spark, build, sf_dir: str, n_runs: int = N_RUNS) -> float:
     _force(build(spark, sf_dir))  # warm-up (also JIT + file listing cache)
     runs = []
-    for _ in range(N_RUNS):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         _force(build(spark, sf_dir))
         runs.append(time.perf_counter() - t0)
@@ -67,12 +67,29 @@ def main() -> None:
     names = HEADLINE or sorted(plans.REGISTRY)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Wall-clock budget: the registry has grown past the point where
+    # warm-up + 3 timed runs for EVERY query fits any sane harness
+    # timeout (285 queries x 4 forcings ~= 20 min). Once the budget is
+    # spent, remaining queries degrade to runs=1 (still warm-up +
+    # one honest timed forcing) and the JSON records where the
+    # degradation started — coverage over precision for the tail,
+    # never a truncated run with no output.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780"))
+    t_start = time.perf_counter()
+    degraded_after: str | None = None
     for i, name in enumerate(names):
         q = plans.REGISTRY.get(name)
         if q is None:
             continue
+        n_runs = N_RUNS
+        if time.perf_counter() - t_start > budget_s:
+            if degraded_after is None:
+                degraded_after = name
+            n_runs = 1
         try:
-            timings[name] = round(time_query(spark, q.build, SF_DIR), 4)
+            timings[name] = round(
+                time_query(spark, q.build, SF_DIR, n_runs=n_runs), 4
+            )
         except Exception as exc:  # one failing query must not lose the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         if (i + 1) % 20 == 0:
@@ -96,6 +113,11 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "n_queries": len(timings),
                 "runs_per_query": N_RUNS,
+                **(
+                    {"degraded_to_1_run_from": degraded_after}
+                    if degraded_after
+                    else {}
+                ),
                 **({"errors": errors} if errors else {}),
             }
         )
