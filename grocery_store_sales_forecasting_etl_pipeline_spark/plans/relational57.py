@@ -346,29 +346,41 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Apriori output on top of the raw integer counts
     brand_basket_pairs deliberately leaves unreduced.
 
-    Scale notes: baskets collapse to DISTINCT (order, brand) first
-    (the brand_basket_pairs discipline — pair fan-out bounded by
-    basket brand count, output by |brands|²); marginals broadcast into
-    the rule join; top-k is TakeOrderedAndProject. The support floor
-    is applied to the integer count before any division.
+    Scale notes: baskets fold to ONE brand-set array per order (one
+    shuffle, set size bounded by |brands|), pairs explode MAP-SIDE
+    from the array, and the pair fold is map-side combinable with
+    output bounded by |brands|² — no basket self-join. (The
+    distinct-then-self-join shape re-shuffles the basket frame and
+    measured 30s/16x at the 10x probe; the array form is 3.9s/2x.)
+    Marginals broadcast into the rule join; top-k is
+    TakeOrderedAndProject. The support floor is applied to the integer
+    count before any division.
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    baskets = (
+    bs = (
         li.join(F.broadcast(p.select("p_partkey", "p_brand")),
                 li.l_partkey == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.collect_set("p_brand").alias("bs"))
         .localCheckpoint(eager=False)
     )
-    nb = baskets.groupBy("b").agg(F.count("*").cast("long").alias("n_b"))
-    tot = baskets.select("o").distinct().agg(
-        F.count("*").cast("long").alias("n")
+    nb = bs.select(F.explode("bs").alias("b")).groupBy("b").agg(
+        F.count("*").cast("long").alias("n_b")
     )
-    x = baskets.select(F.col("o"), F.col("b").alias("antecedent"))
-    y = baskets.select(F.col("o").alias("o2"), F.col("b").alias("consequent"))
+    tot = bs.agg(F.count("*").cast("long").alias("n"))
     pairs = (
-        x.join(y, (F.col("o") == F.col("o2")) & (F.col("antecedent") != F.col("consequent")))
+        bs.select(
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(bs, x -> "
+                    "transform(filter(bs, y -> y != x), "
+                    "y -> struct(x AS antecedent, y AS consequent))))"
+                )
+            ).alias("pr")
+        )
+        .filter(F.col("pr").isNotNull())
+        .select("pr.antecedent", "pr.consequent")
         .groupBy("antecedent", "consequent")
         .agg(F.count("*").cast("long").alias("n_both"))
         .filter(F.col("n_both") >= 10)
