@@ -34,16 +34,26 @@ def test_weighted_median_selection(spark):
     for r in rows:
         vals = sorted(by_brand[r["brand"]])
         assert r["n_lines"] == len(vals)
-        # plain lower median
-        assert r["median_cents"] == vals[(len(vals) + 1) // 2 - 1][0]
-        # weighted median: first value where 2*cumw >= totw
-        totw = sum(w for _, w in vals)
-        cum = 0
+        # plain lower median at the VALUE grain: first value whose
+        # cumulative count reaches (n+1+1)//2 ... i.e. 2*cumc >= n+1
+        per_val: dict = {}
         for c, w in vals:
-            cum += w
-            if 2 * cum >= totw:
-                assert r["weighted_median_cents"] == c
-                break
+            cc, ww = per_val.get(c, (0, 0))
+            per_val[c] = (cc + 1, ww + w)
+        n = len(vals)
+        totw = sum(w for _, w in vals)
+        cumc = cumw = 0
+        med = wmed = None
+        for c in sorted(per_val):
+            cc, ww = per_val[c]
+            cumc += cc
+            cumw += ww
+            if med is None and 2 * cumc >= n + 1:
+                med = c
+            if wmed is None and 2 * cumw >= totw:
+                wmed = c
+        assert r["median_cents"] == med
+        assert r["weighted_median_cents"] == wmed
 
 
 def test_ztest_closed_form(spark):
