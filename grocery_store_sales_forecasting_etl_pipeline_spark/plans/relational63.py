@@ -31,29 +31,36 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import re
 _TAIL_DEP_ORACLE = """
 WITH x AS (
   SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
-         CAST(round(l_quantity * 100) AS BIGINT) AS q,
-         l_orderkey, l_linenumber
+         CAST(round(l_quantity * 100) AS BIGINT) AS q
   FROM lineitem
 ),
-rp AS (
-  SELECT p AS v,
-         CAST(row_number() OVER (ORDER BY p, l_orderkey, l_linenumber)
-              AS BIGINT) AS i,
-         CAST(count(*) OVER () AS BIGINT) AS n
-  FROM x
+pv AS (
+  SELECT p AS v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY p
 ),
-qp AS (
-  SELECT q AS v,
-         CAST(row_number() OVER (ORDER BY q, l_orderkey, l_linenumber)
-              AS BIGINT) AS i,
-         CAST(count(*) OVER () AS BIGINT) AS n
-  FROM x
+pc AS (
+  SELECT v,
+         CAST(sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM pv
+),
+qv AS (
+  SELECT q AS v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY q
+),
+qc AS (
+  SELECT v,
+         CAST(sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM qv
 ),
 th AS (
-  SELECT (SELECT max(CASE WHEN i = (95 * n + 99) // 100 THEN v END) FROM rp)
-           AS p95,
-         (SELECT max(CASE WHEN i = (95 * n + 99) // 100 THEN v END) FROM qp)
-           AS q95
+  SELECT (SELECT min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END)
+          FROM pc) AS p95,
+         (SELECT min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END)
+          FROM qc) AS q95
 ),
 cnt AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -83,35 +90,42 @@ def price_qty_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     once. Complements price_qty_partial_corr: near-zero correlation
     with positive tail lift is exactly the case correlation misses.
 
-    Numerics: thresholds are exact integer order statistics (the
-    (95n+99)//100 rank formula with full tie-break orders); all
-    exceedance counts are BIGINTs; two divisions at the boundary.
+    Numerics: thresholds are exact integer order statistics selected
+    on the VALUE-COUNT frame — the smallest value whose cumulative
+    count reaches rank (95n+99)//100 (identical to the rank selection,
+    tie-independent); all exceedance counts are BIGINTs; two divisions
+    at the boundary.
 
-    Scale notes: two global rank passes for the thresholds (documented
-    total-order cost — count-bucket selection at 100 TB) broadcast as
-    one scalar row, then ONE conditional fold over the fact scan.
+    Scale notes: the thresholds come from two value-domain cumulative
+    frames (the brown_forsythe median discipline — a bare
+    row_number-over-everything rank sorted the 6M-row fact TWICE in a
+    single partition and measured 26s/7.8x at the 10x probe; the
+    value-count form is 2.8s/1.1x), broadcast as one scalar row, then
+    ONE conditional fold over the fact scan.
     """
     li = _t(spark, sf_dir, "lineitem")
     x = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
         F.round(F.col("l_quantity") * 100).cast("long").alias("q"),
-        "l_orderkey",
-        "l_linenumber",
     ).localCheckpoint(eager=False)
 
     def p95_of(col: str):
-        rk = x.select(
-            F.col(col).alias("v"),
-            F.row_number()
-            .over(Window.orderBy(col, "l_orderkey", "l_linenumber"))
-            .cast("long")
-            .alias("i"),
-            F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+        vc = x.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("long").alias("c")
         )
-        return rk.agg(
-            F.max(
+        w_cum = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = vc.select(
+            "v",
+            F.sum("c").over(w_cum).cast("long").alias("cum"),
+            F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+        )
+        return cum.agg(
+            F.min(
                 F.when(
-                    F.col("i") == F.floor((95 * F.col("n") + 99) / 100), F.col("v")
+                    F.col("cum") >= F.floor((95 * F.col("n") + 99) / 100),
+                    F.col("v"),
                 )
             ).alias(f"{col}95")
         )
