@@ -88,6 +88,9 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational6
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational62  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational63  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational64  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational65  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational66  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational67  # noqa: F401
 
 __all__ = [
     "REGISTRY",
