@@ -505,18 +505,35 @@ def qty_price_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("qty"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
-    ).localCheckpoint(eager=False)
+    )
 
     def _median(df: DataFrame, col: str) -> DataFrame:
-        v = df.groupBy(F.col(col).alias("v")).agg(F.count("*").cast("long").alias("c"))
-        w_cum = Window.orderBy("v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        # bucketed-prefix median: a global cumulative window over a
+        # near-unique value domain (price: ~n distinct) is a
+        # single-task sort; splitting the prefix into a tiny global
+        # bucket window (v DIV 65536, ~hundreds of rows) plus
+        # PARTITIONED within-bucket cumulative windows keeps every big
+        # sort parallel (measured 15.3s -> 6.0s at sf1).
+        v = df.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("long").alias("c")
+        ).withColumn("b", F.expr("v DIV 65536"))
+        bs = v.groupBy("b").agg(F.sum("c").cast("long").alias("bc"))
+        w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
         w_all = Window.partitionBy()
-        cw = v.select(
+        bp = bs.select(
+            "b",
+            F.coalesce(F.sum("bc").over(w_b), F.lit(0)).cast("long").alias("pre"),
+            F.sum("bc").over(w_all).cast("long").alias("n"),
+        )
+        w_in = (
+            Window.partitionBy("b")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cw = v.join(F.broadcast(bp), "b").select(
             "v",
-            F.sum("c").over(w_cum).cast("long").alias("cum"),
-            F.sum("c").over(w_all).cast("long").alias("n"),
+            (F.col("pre") + F.sum("c").over(w_in)).cast("long").alias("cum"),
+            "n",
         )
         return cw.agg(
             F.min(F.when(F.lit(2) * F.col("cum") >= F.col("n"), F.col("v"))).alias("m")
