@@ -112,6 +112,7 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational8
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational86  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational87  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational88  # noqa: F401
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational89  # noqa: F401
 
 __all__ = [
     "REGISTRY",
