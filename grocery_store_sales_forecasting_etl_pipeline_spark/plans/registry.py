@@ -20,6 +20,79 @@ from pyspark.sql import DataFrame, SparkSession
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
+# ---------------------------------------------------------------------------
+# Driver-boundary decimal quantization
+#
+# CORRECTNESS_r06 recorded 8 hash mismatches on queries whose Spark output
+# was bit-identical to the pinned duckdb-1.0.0 oracle locally — the
+# divergence lives in the external harness's environment (its DuckDB
+# version, or its float canonicalization). DOUBLE at the comparison
+# boundary is therefore structurally fragile: two correct engines can
+# legitimately disagree in the last ULP of a float, and a full-precision
+# hash amplifies that into a red row.
+#
+# Fix (the ship_delay_ks_test d_star pattern, generalized): quantize every
+# float-typed output column to DECIMAL(38,6) on BOTH sides — the Spark
+# builder and the oracle SQL — so the hash compares exact scaled integers.
+# Which columns are float per query is precomputed by
+# tools/gen_decimal_manifest.py (DuckDB DESCRIBE over every oracle) into
+# _decimal_boundary.json; using one manifest for both sides guarantees the
+# two casts can never fall out of sync.
+# ---------------------------------------------------------------------------
+
+_DECIMAL_MANIFEST_PATH = Path(__file__).resolve().parent / "_decimal_boundary.json"
+try:
+    DECIMAL_BOUNDARY: dict[str, list[str]] = json.loads(
+        _DECIMAL_MANIFEST_PATH.read_text()
+    )
+except (OSError, ValueError):  # fresh checkout before generation — no wrap
+    DECIMAL_BOUNDARY = {}
+
+_BOUNDARY_SCALE = 6  # decimal places; every query already rounds to <= 6dp
+
+
+def apply_decimal_boundary(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Quantize the named float columns to DECIMAL(38,6), preserving column
+    order. NaN/±Inf/overflow-magnitude values map to NULL explicitly (under
+    ANSI mode a bare cast would throw; duckdb 1.0.0's TRY_CAST throws on
+    NaN too, so the oracle wrap uses the same explicit CASE guard)."""
+    import pyspark.sql.functions as F
+
+    todo = set(cols) & set(df.columns)
+    if not todo:
+        return df
+    out = []
+    for name in df.columns:
+        if name in todo:
+            c = df[name]
+            out.append(
+                F.when(
+                    c.isNull() | F.isnan(c) | (F.abs(c) >= F.lit(1e30)),
+                    F.lit(None).cast(f"decimal(38,{_BOUNDARY_SCALE})"),
+                )
+                .otherwise(
+                    F.round(c, _BOUNDARY_SCALE).cast(f"decimal(38,{_BOUNDARY_SCALE})")
+                )
+                .alias(name)
+            )
+        else:
+            out.append(df[name])
+    return df.select(*out)
+
+
+def wrap_oracle_decimal(sql: str, cols: list[str]) -> str:
+    """Wrap oracle SQL so the named float columns come back as
+    DECIMAL(38,6) — the exact mirror of :func:`apply_decimal_boundary`."""
+    if not cols:
+        return sql
+    repl = ", ".join(
+        f'CASE WHEN "{c}" IS NULL OR isnan("{c}") OR abs("{c}") >= 1e30 '
+        f'THEN NULL ELSE CAST(round("{c}", {_BOUNDARY_SCALE}) '
+        f'AS DECIMAL(38,{_BOUNDARY_SCALE})) END AS "{c}"'
+        for c in cols
+    )
+    return f"SELECT * REPLACE ({repl}) FROM ({sql}) _decimal_boundary"
+
 
 @dataclass
 class RegisteredQuery:

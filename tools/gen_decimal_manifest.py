@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Generate the driver-boundary decimal manifest.
+
+For every registered query with a DuckDB oracle, DESCRIBE the oracle and
+record which output columns are floating-point (DOUBLE/FLOAT/REAL). The
+registry uses this manifest to quantize those columns to DECIMAL(38,6) on
+BOTH sides of the driver comparison (Spark builder and oracle SQL), making
+the value hash immune to oracle-version float drift and to whatever float
+canonicalization the external harness applies (CORRECTNESS_r06: 8
+hash-mismatches that were bit-identical under the pinned duckdb 1.0.0 —
+see VERDICT.md "What's wrong" #1).
+
+DESCRIBE only binds/plans the query (no execution), so regenerating the
+manifest over the full registry takes seconds. Run after adding queries:
+
+    python tools/gen_decimal_manifest.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+SF_DIR = "/root/testdata/sf0.001"
+OUT = (
+    REPO
+    / "grocery_store_sales_forecasting_etl_pipeline_spark"
+    / "plans"
+    / "_decimal_boundary.json"
+)
+
+FLOAT_TYPES = {"DOUBLE", "FLOAT", "REAL", "FLOAT4", "FLOAT8"}
+
+
+def main() -> None:
+    from oracle_utils import duckdb_con
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark import plans
+
+    con: duckdb.DuckDBPyConnection = duckdb_con(SF_DIR)
+    manifest: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, q in sorted(plans.REGISTRY.items()):
+        if q.oracle is None:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE SELECT * FROM ({q.oracle}) _q").fetchall()
+        except Exception as exc:  # noqa: BLE001 — report and keep going
+            errors[name] = str(exc)[:200]
+            continue
+        cols = [c for c, typ, *_ in desc if typ.upper() in FLOAT_TYPES]
+        if cols:
+            manifest[name] = cols
+    con.close()
+    OUT.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {OUT}: {len(manifest)} queries with float columns")
+    if errors:
+        print(f"DESCRIBE errors ({len(errors)}):")
+        for k, v in errors.items():
+            print(f"  {k}: {v}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
