@@ -1,12 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the registered headline queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+"""Benchmark harness: runs the registered queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {<top-25 slowest only>}, "sf": ..., ...}
 
-Timing protocol (BASELINE.md): wall-clock around a forcing count() on the
-result, median of N_RUNS after one warm-up.
+The driver captures only ~4 KB of stdout, so the printed line carries the
+total + the slowest 25 queries; the FULL per-query table (all timings, all
+errors, run counts) is written to BENCH_LOCAL.json at the repo root.
+
+Timing protocol (BASELINE.md): wall-clock around a noop-sink forcing of the
+result, after one warm-up forcing. Budget mode: every query gets warm-up +
+one timed run (pass 1); the top-$SPARK_GRAFT_BENCH_TOPK (default 20)
+slowest then get median-of-$SPARK_GRAFT_BENCH_RUNS (default 3) refinement
+(pass 2) while the wall-clock budget allows — precision where the seconds
+are, coverage everywhere.
 """
 
 from __future__ import annotations
@@ -26,7 +35,11 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-# headline set: one per operator family; None = bench everything registered
+TOPK = int(os.environ.get("SPARK_GRAFT_BENCH_TOPK", "20"))
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780"))
+SUMMARY_QUERIES = 25  # how many per-query timings fit the printed line
+LOCAL_OUT = REPO / "BENCH_LOCAL.json"
+# headline set override; None = bench everything registered
 HEADLINE = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if os.environ.get(
     "SPARK_GRAFT_BENCH_QUERIES"
 ) else None
@@ -51,77 +64,92 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def time_query(spark, build, sf_dir: str, n_runs: int = N_RUNS) -> float:
-    _force(build(spark, sf_dir))  # warm-up (also JIT + file listing cache)
-    runs = []
-    for _ in range(n_runs):
-        t0 = time.perf_counter()
-        _force(build(spark, sf_dir))
-        runs.append(time.perf_counter() - t0)
-    return statistics.median(runs)
+def _gc_hygiene(spark) -> None:
+    """Long-session hygiene, OUTSIDE any timed window: drop py4j refs and
+    force a driver GC so ContextCleaner reclaims accumulated shuffle /
+    broadcast state (see session.py periodicGC note; without this the tail
+    of a full-registry run measured 5-15x inflated)."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
+def _timed_force(spark, build, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    _force(build(spark, sf_dir))
+    return time.perf_counter() - t0
 
 
 def main() -> None:
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
     names = HEADLINE or sorted(plans.REGISTRY)
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    # Wall-clock budget: the registry has grown past the point where
-    # warm-up + 3 timed runs for EVERY query fits any sane harness
-    # timeout (285 queries x 4 forcings ~= 20 min). Once the budget is
-    # spent, remaining queries degrade to runs=1 (still warm-up +
-    # one honest timed forcing) and the JSON records where the
-    # degradation started — coverage over precision for the tail,
-    # never a truncated run with no output.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780"))
     t_start = time.perf_counter()
-    degraded_after: str | None = None
+
+    # ---- pass 1: warm-up + one honest timed forcing for EVERY query ----
+    runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for i, name in enumerate(names):
-        q = plans.REGISTRY.get(name)
-        if q is None:
+        if name not in plans.REGISTRY:
             continue
-        n_runs = N_RUNS
-        if time.perf_counter() - t_start > budget_s:
-            if degraded_after is None:
-                degraded_after = name
-            n_runs = 1
+        build = plans.wrapped_build(name)  # the shipped surface
         try:
-            timings[name] = round(
-                time_query(spark, q.build, SF_DIR, n_runs=n_runs), 4
-            )
+            _force(build(spark, SF_DIR))  # warm-up (JIT + file-listing cache)
+            runs[name] = [_timed_force(spark, build, SF_DIR)]
         except Exception as exc:  # one failing query must not lose the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         if (i + 1) % 20 == 0:
-            # long-session hygiene, OUTSIDE any timed window: drop py4j
-            # refs and force a driver GC so ContextCleaner reclaims the
-            # accumulated shuffle/broadcast/checkpoint state (see
-            # session.py periodicGC note; without this the tail of a
-            # full-registry run measured 5-15x inflated)
-            import gc
+            _gc_hygiene(spark)
 
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
+    # ---- pass 2: refine the costliest queries to median-of-N_RUNS ----
+    by_cost = sorted(runs, key=lambda n: runs[n][0], reverse=True)
+    refined: list[str] = []
+    for name in by_cost[:TOPK]:
+        if time.perf_counter() - t_start > BUDGET_S:
+            break
+        build = plans.wrapped_build(name)
+        try:
+            for _ in range(N_RUNS - 1):
+                runs[name].append(_timed_force(spark, build, SF_DIR))
+            refined.append(name)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        _gc_hygiene(spark)
+
+    timings = {n: round(statistics.median(ts), 4) for n, ts in runs.items()}
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "n_queries": len(timings),
-                "runs_per_query": N_RUNS,
-                **(
-                    {"degraded_to_1_run_from": degraded_after}
-                    if degraded_after
-                    else {}
-                ),
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    sf = _sf_from_dir(SF_DIR)
+
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": dict(sorted(timings.items())),
+        "runs_per_query": {"refined_top": N_RUNS, "rest": 1},
+        "refined_queries": sorted(refined),
+        "errors": errors,
+        "wall_s": round(time.perf_counter() - t_start, 1),
+    }
+    LOCAL_OUT.write_text(json.dumps(full, indent=1) + "\n")
+
+    # ONE compact line for the driver's ~4 KB stdout capture: total over
+    # ALL queries, per-query detail only for the slowest SUMMARY_QUERIES.
+    top = {n: timings[n] for n in by_cost[:SUMMARY_QUERIES] if n in timings}
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": top,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "runs": {"top": N_RUNS, "rest": 1},
+        "full_results": LOCAL_OUT.name,
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

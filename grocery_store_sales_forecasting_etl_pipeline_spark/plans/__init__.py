@@ -13,11 +13,14 @@ beyond registration completeness.
 """
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
+    DECIMAL_BOUNDARY,
     REGISTRY,
     RegisteredQuery,
     oracle_sql_map,
     queries_map,
     register,
+    wrapped_build,
+    wrapped_oracle,
 )
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import relational  # noqa: F401
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops  # noqa: F401

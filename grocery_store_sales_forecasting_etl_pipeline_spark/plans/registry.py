@@ -51,14 +51,37 @@ except (OSError, ValueError):  # fresh checkout before generation — no wrap
 _BOUNDARY_SCALE = 6  # decimal places; every query already rounds to <= 6dp
 
 
+# Piecewise magnitude cutoffs for the quantization below. DuckDB's
+# double->DECIMAL(38,6) cast scales by 10^6 in floating point, which is
+# inexact past 2^53/10^6 ~= 9.0e9 (observed: spark 1443283136200801.500000
+# vs duckdb 1443283136200801.517568 on weekly_trend_chow_test), while
+# Spark casts through exact BigDecimal — so large magnitudes must quantize
+# through the BIGINT integer path, which both engines compute exactly.
+# Past BIGINT range there is nothing exact left to compare: NULL both sides.
+_INT_PATH_ABS = 1e9  # margin under 2^53/10^6; 6dp is noise up here anyway
+_NULL_ABS = 1e18  # margin under 2^63; +-Inf also lands here
+
+
 def apply_decimal_boundary(df: DataFrame, cols: list[str]) -> DataFrame:
     """Quantize the named float columns to DECIMAL(38,6), preserving column
-    order. NaN/±Inf/overflow-magnitude values map to NULL explicitly (under
-    ANSI mode a bare cast would throw; duckdb 1.0.0's TRY_CAST throws on
-    NaN too, so the oracle wrap uses the same explicit CASE guard)."""
+    order. Piecewise by magnitude so BOTH engines quantize exactly:
+    |x| < 1e9 -> round to 6dp; 1e9 <= |x| < 1e18 -> round to integer via
+    BIGINT (a double carries < 1e-6 absolute precision up here, so the
+    dropped decimals are representation noise); NaN/±Inf/|x| >= 1e18 ->
+    NULL explicitly (under ANSI mode a bare cast would throw; duckdb
+    1.0.0's TRY_CAST throws on NaN too, so the oracle wrap uses the same
+    explicit CASE guard).
+
+    Only columns whose Spark dtype is actually float/double are touched:
+    the manifest is DuckDB-derived, so on schema skew (a name DuckDB types
+    DOUBLE but the builder emits otherwise) F.isnan would raise — skipping
+    keeps the build alive and lets the parity suite surface the skew as a
+    schema mismatch instead."""
     import pyspark.sql.functions as F
 
-    todo = set(cols) & set(df.columns)
+    dec = f"decimal(38,{_BOUNDARY_SCALE})"
+    float_cols = {f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")}
+    todo = set(cols) & float_cols
     if not todo:
         return df
     out = []
@@ -67,12 +90,14 @@ def apply_decimal_boundary(df: DataFrame, cols: list[str]) -> DataFrame:
             c = df[name]
             out.append(
                 F.when(
-                    c.isNull() | F.isnan(c) | (F.abs(c) >= F.lit(1e30)),
-                    F.lit(None).cast(f"decimal(38,{_BOUNDARY_SCALE})"),
+                    c.isNull() | F.isnan(c) | (F.abs(c) >= F.lit(_NULL_ABS)),
+                    F.lit(None).cast(dec),
                 )
-                .otherwise(
-                    F.round(c, _BOUNDARY_SCALE).cast(f"decimal(38,{_BOUNDARY_SCALE})")
+                .when(
+                    F.abs(c) >= F.lit(_INT_PATH_ABS),
+                    F.round(c, 0).cast("long").cast(dec),
                 )
+                .otherwise(F.round(c, _BOUNDARY_SCALE).cast(dec))
                 .alias(name)
             )
         else:
@@ -85,10 +110,13 @@ def wrap_oracle_decimal(sql: str, cols: list[str]) -> str:
     DECIMAL(38,6) — the exact mirror of :func:`apply_decimal_boundary`."""
     if not cols:
         return sql
+    dec = f"DECIMAL(38,{_BOUNDARY_SCALE})"
     repl = ", ".join(
-        f'CASE WHEN "{c}" IS NULL OR isnan("{c}") OR abs("{c}") >= 1e30 '
-        f'THEN NULL ELSE CAST(round("{c}", {_BOUNDARY_SCALE}) '
-        f'AS DECIMAL(38,{_BOUNDARY_SCALE})) END AS "{c}"'
+        f'CASE WHEN "{c}" IS NULL OR isnan("{c}") OR abs("{c}") >= {_NULL_ABS:.0e} '
+        f"THEN NULL "
+        f'WHEN abs("{c}") >= {_INT_PATH_ABS:.0e} '
+        f'THEN CAST(CAST(round("{c}", 0) AS BIGINT) AS {dec}) '
+        f'ELSE CAST(round("{c}", {_BOUNDARY_SCALE}) AS {dec}) END AS "{c}"'
         for c in cols
     )
     return f"SELECT * REPLACE ({repl}) FROM ({sql}) _decimal_boundary"
@@ -178,13 +206,42 @@ def _rotation_order() -> list[str]:
     return sorted(REGISTRY, key=lambda n: (hist.get(n, -1), n))
 
 
+def wrapped_build(name: str) -> Builder:
+    """The SHIPPED builder for ``name``: the registered builder with the
+    decimal output boundary applied (identity when the manifest lists no
+    float columns for the query). Both ``queries_map()`` and the local
+    parity suite go through here, so what the tests exercise is exactly
+    what the driver runs."""
+    q = REGISTRY[name]
+    cols = DECIMAL_BOUNDARY.get(name, [])
+    if not cols:
+        return q.build
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return apply_decimal_boundary(q.build(spark, sf_dir), cols)
+
+    build.__doc__ = q.build.__doc__
+    return build
+
+
+def wrapped_oracle(name: str) -> str | None:
+    """The SHIPPED oracle SQL for ``name`` — the registered SQL with the
+    mirror decimal boundary applied from the same manifest entry."""
+    q = REGISTRY[name]
+    if q.oracle is None:
+        return None
+    return wrap_oracle_decimal(q.oracle, DECIMAL_BOUNDARY.get(name, []))
+
+
 def queries_map() -> dict[str, Builder]:
-    """Every registered query (no filtering), rotation-ordered."""
-    return {name: REGISTRY[name].build for name in _rotation_order()}
+    """Every registered query (no filtering), rotation-ordered, with the
+    decimal output boundary applied per _decimal_boundary.json."""
+    return {name: wrapped_build(name) for name in _rotation_order()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    """Oracle SQL for every registered query that has one, same order.
+    """Oracle SQL for every registered query that has one, same order,
+    with the mirror decimal boundary applied.
 
     Queries flagged ``driver_oracle=False`` (list-typed result cells the
     external canonicalizer cannot hash) are omitted here — the harness
@@ -192,7 +249,7 @@ def oracle_sql_map() -> dict[str, str]:
     run locally in ``tests/test_oracle_parity.py``.
     """
     return {
-        name: REGISTRY[name].oracle
+        name: wrapped_oracle(name)
         for name in _rotation_order()
         if REGISTRY[name].oracle is not None and REGISTRY[name].driver_oracle
     }

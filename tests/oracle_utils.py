@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import struct
 from pathlib import Path
 
 import duckdb
@@ -42,9 +43,13 @@ def _cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # canonical fixed-point form; queries round outputs to <=2dp so
-        # 6dp here only guards representation noise
-        return f"{v:.6f}"
+        # bit-exact: the decimal output boundary (plans/_decimal_boundary
+        # .json) converts every manifest-listed float column to DECIMAL on
+        # both sides before it reaches here, so any raw float left at the
+        # comparison boundary is hashed full-precision by the external
+        # driver — the local gate must be exactly as strict, or it passes
+        # what the driver fails (the r6/r7 red-row class).
+        return struct.pack("<d", v).hex()
     if isinstance(v, _dt.datetime):
         return v.isoformat()
     if isinstance(v, _dt.date):

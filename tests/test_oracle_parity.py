@@ -14,9 +14,11 @@ ROWS_ONLY = sorted(name for name, q in plans.REGISTRY.items() if q.oracle is Non
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, sf_oracle, name):
-    q = plans.REGISTRY[name]
-    df = q.build(spark, sf_oracle)
-    compare(df, q.oracle, sf_oracle, name=name)
+    # The SHIPPED surface: builder + oracle with the decimal output
+    # boundary applied — exactly what queries_map()/oracle_sql_map() hand
+    # the external driver.
+    df = plans.wrapped_build(name)(spark, sf_oracle)
+    compare(df, plans.wrapped_oracle(name), sf_oracle, name=name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

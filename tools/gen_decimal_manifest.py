@@ -59,13 +59,15 @@ def main() -> None:
         if cols:
             manifest[name] = cols
     con.close()
-    OUT.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
-    print(f"wrote {OUT}: {len(manifest)} queries with float columns")
     if errors:
-        print(f"DESCRIBE errors ({len(errors)}):")
+        # Refuse to write a partial manifest: an errored query would
+        # silently ship unquantized while the file looks complete.
+        print(f"NOT writing manifest — DESCRIBE errors ({len(errors)}):")
         for k, v in errors.items():
             print(f"  {k}: {v}")
         sys.exit(1)
+    OUT.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {OUT}: {len(manifest)} queries with float columns")
 
 
 if __name__ == "__main__":
