@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    value_cum_counts,
+)
 
 # ---------------------------------------------------------------------------
 # Mann-Whitney rank-sum: ship delay of returned vs kept line items
@@ -221,13 +224,14 @@ def acctbal_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded once at the boundary.
 
     Scale notes: one customer-grain fold (orders groupBy custkey,
-    map-side combinable, broadcast-joined to the dim), then ranking.
-    The rank windows here are single-ordering sorts of the
-    CUSTOMER-grain frame — the distributed form is the standard
-    range-partitioned prefix-sum ranking (sort within range buckets,
-    add broadcast bucket-offset partials); only the five SUFFICIENT
-    SUMS leave the rank stage, so the statistic itself never
-    concentrates data anywhere.
+    map-side combinable, broadcast-joined to the dim), then ranking
+    WITHOUT a global sort: the doubled midrank is constant within a
+    tie group — 2·rank + ties − 1 = 2·cum − c + 1 on the value grain —
+    so each variable's midrank map comes from scalerank
+    .value_cum_counts (coarse-bucket offsets on a bounded frame +
+    partitioned within-bucket cumulative) and joins back on the value.
+    Two value-keyed shuffles of the customer-grain frame, no
+    single-partition stage; only the five sufficient sums leave.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -246,19 +250,17 @@ def acctbal_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("x", "y")
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
-    rx2 = (
-        F.lit(2) * F.rank().over(Window.orderBy("x"))
-        + F.count("*").over(Window.partitionBy("x"))
-        - 1
-    ).cast(dec)
-    ry2 = (
-        F.lit(2) * F.rank().over(Window.orderBy("y"))
-        + F.count("*").over(Window.partitionBy("y"))
-        - 1
-    ).cast(dec)
-    r = xy.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    midrank2 = (F.lit(2) * F.col("cum") - F.col("c") + 1).cast(dec)
+    cx = value_cum_counts(xy.select("x"), "x", coarse_div=10000).select(
+        "x", midrank2.alias("rx2")
+    )
+    cy = value_cum_counts(xy.select("y"), "y", coarse_div=1000000).select(
+        "y", midrank2.alias("ry2")
+    )
+    r = xy.join(cx, "x").join(cy, "y").select("rx2", "ry2")
     s = r.agg(
         F.count("*").cast(dec).alias("n"),
         F.sum("rx2").alias("sx"),

@@ -28,6 +28,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    bucketed_row_number,
+)
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -180,11 +183,15 @@ def model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned orderkeys (map-side combinable), then a left join back to
     orders on the natural co-partition key.
 
-    Scale notes: exact deciles need a total order, so NTILE runs in one
-    global window — correct-by-contract here; at 100 TB the same table
-    would assign deciles from precomputed count boundaries (two passes,
-    no single-partition sort) at the cost of boundary-tie placement.
-    Everything after the decile column is a 10-row frame.
+    Scale notes: exact deciles need exact global ranks, but NOT a
+    global sort — ranks come from the scalerank two-pass (coarse $100
+    price-bucket offsets on a bounded frame, then a row_number
+    PARTITIONED by bucket), and each row's NTILE bucket is the standard
+    ntile formula applied to its exact rank: with base = n/10 and
+    rem = n%10, the first rem deciles hold base+1 rows. Identical
+    integer decile assignment to the oracle's ntile(10), no
+    single-partition sort anywhere. Everything after the decile column
+    is a 10-row frame.
     """
     o = _t(spark, sf_dir, "orders")
     ret = (
@@ -198,11 +205,19 @@ def model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         F.coalesce(F.col("pos1"), F.lit(0)).alias("pos"),
+    ).localCheckpoint(eager=False)
+    ranked = bucketed_row_number(
+        lab, "o_totalprice", ["o_orderkey"], coarse_div=100, descending=True
     )
-    dec = lab.select(
+    tot = lab.agg(F.count("*").cast("long").alias("n_all"))
+    base = F.floor(F.col("n_all") / 10)
+    rem = F.col("n_all") % 10
+    cut = rem * (base + 1)
+    dec = ranked.crossJoin(F.broadcast(tot)).select(
         "pos",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        F.when(F.col("rn") <= cut, F.floor((F.col("rn") - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((F.col("rn") - cut - 1) / base) + 1)
+        .cast("int")
         .alias("decile"),
     )
     per = dec.groupBy("decile").agg(
@@ -294,10 +309,11 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bin id floors a double computed from the same integers, so the
     boundary rows land identically on both sides.
 
-    Scale notes: the global row_number is the same total-order cost as
-    the gains table (boundary-assignment two-pass at 100 TB); the rest
-    is a 10-row frame. The label join is the shared
-    distinct-returned-orderkeys fold on the natural key.
+    Scale notes: exact ranks come from the scalerank two-pass (coarse
+    price-bucket offsets on a bounded frame + partitioned within-bucket
+    row_number — no single-partition sort); the rest is a 10-row frame.
+    The label join is the shared distinct-returned-orderkeys fold on
+    the natural key.
     """
     o = _t(spark, sf_dir, "orders")
     ret = (
@@ -311,16 +327,14 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         F.coalesce(F.col("pos1"), F.lit(0)).alias("pos"),
-    )
-    rk = lab.select(
-        "pos",
-        (
-            F.row_number().over(Window.orderBy("o_totalprice", "o_orderkey")).cast(
-                "long"
-            )
-            - 1
-        ).alias("rn0"),
-        F.count("*").over(Window.partitionBy()).cast("long").alias("n_all"),
+    ).localCheckpoint(eager=False)
+    tot = lab.agg(F.count("*").cast("long").alias("n_all"))
+    rk = (
+        bucketed_row_number(
+            lab, "o_totalprice", ["o_orderkey"], coarse_div=100
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("pos", (F.col("rn") - 1).alias("rn0"), "n_all")
     )
     b = rk.select(
         "pos",

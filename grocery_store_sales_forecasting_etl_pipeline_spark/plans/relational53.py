@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    value_cum_counts,
+)
 
 # ---------------------------------------------------------------------------
 # Population stability index
@@ -112,12 +115,14 @@ def price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons inside codegen; the psi terms are identical double
     trees (ln in subtraction form) over exact counts, rounded once.
 
-    Scale notes: one pass builds the reference rank frame (global sort
-    of the reference HALF — the documented exact-quantile total-order
-    cost; at 100 TB the same edges come from a two-pass count-bucket
-    selection), then bin assignment is map-only against the broadcast
-    edge row and the fold is 10 rows. No per-row joins, no fact-grain
-    second shuffle.
+    Scale notes: the edge at rank r under ORDER BY (cents, orderkey)
+    depends only on the value-grain cumulative counts (the orderkey
+    tie-break never changes WHICH cents value holds rank r), so edges
+    come from scalerank.value_cum_counts — coarse $100-bucket offsets
+    on a bounded frame + partitioned within-bucket cumulative, no
+    single-partition sort. Bin assignment is map-only against the
+    broadcast edge row and the fold is 10 rows. No per-row joins, no
+    fact-grain second shuffle.
     """
     o = _t(spark, sf_dir, "orders")
     base = o.select(
@@ -131,19 +136,13 @@ def price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("period"),
     )
     a = base.filter(F.col("period") == "a")
-    rk = a.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .cast("long")
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
-    )
-    edges = rk.agg(
+    cc = value_cum_counts(a.select("cents"), "cents", coarse_div=10000)
+    tot = cc.agg(F.sum("c").cast("long").alias("n"))
+    edges = cc.crossJoin(F.broadcast(tot)).agg(
         *[
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rn") == F.floor((k * F.col("n") + 9) / 10),
+                    F.col("cum") >= F.floor((k * F.col("n") + 9) / 10),
                     F.col("cents"),
                 )
             ).alias(f"e{k}")

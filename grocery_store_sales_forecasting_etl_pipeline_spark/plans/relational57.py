@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    value_cum_counts,
+)
 
 # ---------------------------------------------------------------------------
 # Time-weighted average value per user (step-function integral)
@@ -190,10 +193,13 @@ def numeric_split_point_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     gains so the argmax is decided on the same values both engines
     emit.
 
-    Scale notes: one rank pass for edges (the documented exact-
-    quantile total-order cost), then ONE fact scan computing all nine
-    candidate counts simultaneously (a 9-term conditional aggregate,
-    not nine scans), then 9-row arithmetic.
+    Scale notes: edges depend only on value-grain cumulative counts
+    (the orderkey tie-break never changes which cents value holds a
+    rank), so they come from scalerank.value_cum_counts — coarse
+    bucket offsets on a bounded frame + partitioned within-bucket
+    cumulative, no single-partition sort — then ONE fact scan
+    computing all nine candidate counts simultaneously (a 9-term
+    conditional aggregate, not nine scans), then 9-row arithmetic.
     """
     o = _t(spark, sf_dir, "orders")
     ret = (
@@ -208,19 +214,13 @@ def numeric_split_point_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.coalesce(F.col("pos1"), F.lit(0)).alias("pos"),
     ).localCheckpoint(eager=False)
-    rk = lab.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .cast("long")
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
-    )
-    edges = rk.agg(
+    cc = value_cum_counts(lab.select("cents"), "cents", coarse_div=10000)
+    tot = cc.agg(F.sum("c").cast("long").alias("n"))
+    edges = cc.crossJoin(F.broadcast(tot)).agg(
         *[
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rn") == F.floor((k * F.col("n") + 9) / 10),
+                    F.col("cum") >= F.floor((k * F.col("n") + 9) / 10),
                     F.col("cents"),
                 )
             ).alias(f"e{k}")

@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    ranked_points, value_cum_counts,
+)
 
 # ---------------------------------------------------------------------------
 # Weighted median price per brand
@@ -283,9 +286,13 @@ def order_gap_exponential_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer side and ~1e-12 relative double-order noise on the
     theoretical side against 6dp rounding.
 
-    Scale notes: one user-keyed lag window, then a global rank of the
-    gap pool (the documented exact-order-statistic total-order cost;
-    a two-pass count-bucket rank at 100 TB), then one
+    Scale notes: one user-keyed lag window; then, because the
+    plotting-position term depends only on (gap value, rank) and rank
+    permutations within a tie change nothing, the (g, i) pairs are
+    REBUILT from the bounded day-gap value grain
+    (scalerank.value_cum_counts + ranked_points' chunked two-level
+    sequence-explode — fully parallel, no global sort, generator tasks
+    capped at 64k rows even for billion-row tie groups), then one
     sufficient-statistics fold.
     """
     o = _t(spark, sf_dir, "orders")
@@ -297,14 +304,15 @@ def order_gap_exponential_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g")
     ).filter(F.col("g").isNotNull())
     gg = gaps.select(F.col("g").cast("long").alias("g"))
-    rk = gg.select(
-        "g",
-        F.row_number().over(Window.orderBy("g")).cast("long").alias("i"),
-        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
-    )
-    pts = rk.select(
-        "g",
-        (-F.log(1 - F.col("i").cast("double") / (F.col("n") + 1))).alias("q"),
+    cc = value_cum_counts(gg, "g", coarse_div=64)
+    tot = cc.agg(F.sum("c").cast("long").alias("n"))
+    pts = (
+        ranked_points(cc, "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            (-F.log(1 - F.col("i").cast("double") / (F.col("n") + 1))).alias("q"),
+        )
     )
     d38 = "decimal(38,0)"
     st = pts.agg(

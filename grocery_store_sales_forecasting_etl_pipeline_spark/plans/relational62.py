@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    ranked_points, value_cum_counts,
+)
 
 # ---------------------------------------------------------------------------
 # Two-component Gaussian mixture, 2 EM iterations
@@ -373,8 +376,10 @@ def order_gap_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees are identical; the closed-form slope/intercept round once.
 
     Scale notes: same shape as order_gap_exponential_qq — one
-    user-keyed lag window, one global rank of the gap pool (documented
-    total-order cost), one sufficient-statistics fold.
+    user-keyed lag window, then the (g, i) plotting pairs rebuilt from
+    the bounded day-gap value grain (scalerank.value_cum_counts +
+    chunked ranked_points — no global sort), one sufficient-statistics
+    fold.
     """
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -384,14 +389,18 @@ def order_gap_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag(F.col("o_orderdate").cast("date")).over(w),
         ).alias("g")
     ).filter(F.col("g").isNotNull() & (F.col("g") >= 1))
-    rk = gaps.select(
-        F.col("g").cast("long").alias("g"),
-        F.row_number().over(Window.orderBy("g")).cast("long").alias("i"),
-        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
-    )
-    pts = rk.select(
-        F.log(F.col("g").cast("double")).alias("x"),
-        F.log(-F.log(1 - F.col("i").cast("double") / (F.col("n") + 1))).alias("y"),
+    gg = gaps.select(F.col("g").cast("long").alias("g"))
+    cc = value_cum_counts(gg, "g", coarse_div=64)
+    tot = cc.agg(F.sum("c").cast("long").alias("n"))
+    pts = (
+        ranked_points(cc, "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.log(F.col("g").cast("double")).alias("x"),
+            F.log(
+                -F.log(1 - F.col("i").cast("double") / (F.col("n") + 1))
+            ).alias("y"),
+        )
     )
     st = pts.agg(
         F.count("*").cast("long").alias("n"),
@@ -461,44 +470,49 @@ def order_value_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail sum is HUGEINT/DECIMAL; one division and rounding each at
     the boundary.
 
-    Scale notes: one global rank pass (documented exact-order-
-    statistic total-order cost; count-bucket selection at 100 TB),
-    one conditional fold — no joins.
+    Scale notes: both the VaR order statistic and the tail sum are
+    pure functions of the value-grain cumulative counts (ranks above
+    r* split into "all rows with v > var95" plus the cum95 - r*
+    boundary ties AT var95, whose sum is var95 times that count), so
+    the whole pair computes from scalerank.value_cum_counts — coarse
+    bucket offsets on a bounded frame + partitioned within-bucket
+    cumulative, no global sort — and two small folds over the value
+    grain. No fact-grain second pass, no joins.
     """
     o = _t(spark, sf_dir, "orders")
     d38 = "decimal(38,0)"
-    x = o.select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
-        "o_orderkey",
-    )
-    rk = x.select(
-        "v",
-        F.row_number().over(Window.orderBy("v", "o_orderkey")).cast("long").alias("i"),
-        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
-    )
+    x = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("v"))
+    cc = value_cum_counts(x, "v", coarse_div=10000).localCheckpoint(eager=False)
+    tot = cc.agg(F.sum("c").cast("long").alias("n"))
     var_rank = F.floor((95 * F.col("n") + 99) / 100)
-    sel = rk.agg(
+    sel1 = cc.crossJoin(F.broadcast(tot)).agg(
         F.first("n").alias("n"),
-        F.max(F.when(F.col("i") == var_rank, F.col("v")))
+        F.min(F.when(F.col("cum") >= var_rank, F.col("v")))
         .cast("long")
         .alias("var95"),
-        F.sum(
-            F.when(F.col("i") > var_rank, F.col("v").cast(d38)).otherwise(
-                F.lit(0).cast(d38)
-            )
-        ).alias("tail_s"),
-        F.sum(F.when(F.col("i") > var_rank, 1).otherwise(0))
+        F.min(F.when(F.col("cum") >= var_rank, F.col("cum")))
         .cast("long")
-        .alias("tail_n"),
+        .alias("cum95"),
     )
+    sel = cc.crossJoin(F.broadcast(sel1)).agg(
+        F.first("n").alias("n"),
+        F.first("var95").alias("var95"),
+        F.first("cum95").alias("cum95"),
+        F.sum(
+            F.when(
+                F.col("v") > F.col("var95"), F.col("v").cast(d38) * F.col("c")
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("gt_s"),
+    )
+    r_star = F.floor((95 * F.col("n") + 99) / 100)
+    tail_n = (F.col("n") - r_star).cast("long")
+    tail_s = F.col("gt_s") + F.col("var95").cast(d38) * (F.col("cum95") - r_star)
     return sel.select(
         F.col("n").alias("n_orders"),
         F.col("var95").alias("var95_cents"),
-        "tail_n",
-        F.round(
-            F.col("tail_s").cast("double") / F.col("tail_n") / 100, 2
-        ).alias("es95_dollars"),
-        F.round(
-            F.col("tail_s").cast("double") / F.col("tail_n") / F.col("var95"), 6
-        ).alias("es_to_var_ratio"),
+        tail_n.alias("tail_n"),
+        F.round(tail_s.cast("double") / tail_n / 100, 2).alias("es95_dollars"),
+        F.round(tail_s.cast("double") / tail_n / F.col("var95"), 6).alias(
+            "es_to_var_ratio"
+        ),
     )

@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    counts_to_cum,
+)
 
 # ---------------------------------------------------------------------------
 # Exact distance correlation: weekly order count vs weekly revenue
@@ -392,10 +395,13 @@ def segment_value_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation, identical on both sides); z is one rounded double.
 
     Scale notes: the orders-customer join shuffles on custkey; the
-    pooled ranking runs on the filtered two-segment frame — at the
-    100 TB tier this global rank would move to a value-count frame
-    (the relational27 KS pattern); here the direct window keeps the
-    plan simple and the aggregation exact.
+    doubled midrank (and hence the folded score) is constant within a
+    cents tie group, so the pooled ranking folds to the VALUE grain —
+    per-cents (total, AUTOMOBILE) counts, cumulative via
+    scalerank.counts_to_cum (coarse-bucket offsets on a bounded frame
+    + partitioned within-bucket cumulative, no single-partition sort)
+    — and the score sum weights each value's score by its AUTOMOBILE
+    count. No fact-grain window anywhere.
     """
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -407,33 +413,21 @@ def segment_value_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
-    w_cum = Window.orderBy("cents").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_tie = Window.partitionBy("cents")
-    w_all = Window.partitionBy()
-    ranked = s.select(
-        "seg",
-        (
-            F.lit(2) * F.count("*").over(w_cum).cast("long")
-            - F.count("*").over(w_tie).cast("long")
-            + 1
-        ).alias("r2"),
-        F.count("*").over(w_all).cast("long").alias("nn"),
-    )
-    scored = ranked.select(
-        "seg",
-        "nn",
-        ((F.col("nn") + 1) - F.abs(F.col("r2") - (F.col("nn") + 1))).alias("s2"),
-    )
-    g = scored.agg(
-        F.max("nn").alias("nn"),
+    vc = s.groupBy("cents").agg(
+        F.count("*").cast("long").alias("c"),
         F.sum(F.when(F.col("seg") == "AUTOMOBILE", 1).otherwise(0))
         .cast("long")
-        .alias("m"),
-        F.sum(F.when(F.col("seg") == "AUTOMOBILE", F.col("s2")).otherwise(0))
-        .cast("long")
-        .alias("w2"),
+        .alias("c_auto"),
+    )
+    cum = counts_to_cum(vc, "cents", coarse_div=10000)
+    tot = cum.agg(F.sum("c").cast("long").alias("nn"))
+    # doubled midrank 2*cum - c + 1 and folded score, constant per value
+    r2 = F.lit(2) * F.col("cum") - F.col("c") + 1
+    s2 = (F.col("nn") + 1) - F.abs(r2 - (F.col("nn") + 1))
+    g = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("nn").alias("nn"),
+        F.sum("c_auto").cast("long").alias("m"),
+        F.sum(F.col("c_auto") * s2).cast("long").alias("w2"),
     )
     nn_d = F.col("nn").cast("double")
     m_d = F.col("m").cast("double")

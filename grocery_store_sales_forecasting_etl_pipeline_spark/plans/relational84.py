@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    counts_to_cum,
+)
 
 _QDIM = """
   SELECT vec_id, CAST(u AS BIGINT) AS dim,
@@ -431,10 +434,14 @@ def segment_value_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ΣR² = ΣR2²/4, exact HUGEINT/DECIMAL(38,0) integers); U, V, ρ, C
     are identical double trees rounded once.
 
-    Scale notes: orders-customer join shuffles on custkey; pooled
-    ranking runs on the two-segment frame (the relational27
-    value-count pattern is the 100 TB escape hatch; direct windows
-    keep this exact and simple at test scale).
+    Scale notes: orders-customer join shuffles on custkey; the doubled
+    midrank is constant within a cents tie group, so the pooled
+    ranking folds to the VALUE grain — per-cents (total, AUTOMOBILE)
+    counts, cumulative via scalerank.counts_to_cum (coarse-bucket
+    offsets on a bounded frame + partitioned within-bucket cumulative,
+    no single-partition sort) — and the squared-rank sums weight each
+    value's (doubled) rank square by its AUTOMOBILE count. No
+    fact-grain window anywhere.
     """
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -446,40 +453,23 @@ def segment_value_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
-    w_cum = Window.orderBy("cents").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_tie = Window.partitionBy("cents")
-    w_all = Window.partitionBy()
-    ranked = s.select(
-        "seg",
-        (
-            F.lit(2) * F.count("*").over(w_cum).cast("long")
-            - F.count("*").over(w_tie).cast("long")
-            + 1
-        ).alias("r2"),
-        F.count("*").over(w_all).cast("long").alias("nn"),
-    )
-    contra = F.lit(2) * (F.col("nn") + 1) - F.col("r2")
-    g = ranked.agg(
-        F.max("nn").alias("nn"),
+    vc = s.groupBy("cents").agg(
+        F.count("*").cast("long").alias("c"),
         F.sum(F.when(F.col("seg") == "AUTOMOBILE", 1).otherwise(0))
         .cast("long")
-        .alias("n1"),
-        F.sum(
-            F.when(
-                F.col("seg") == "AUTOMOBILE",
-                F.col("r2").cast(_DEC) * F.col("r2").cast(_DEC),
-            ).otherwise(F.lit(0).cast(_DEC))
-        )
+        .alias("c_auto"),
+    )
+    cum = counts_to_cum(vc, "cents", coarse_div=10000)
+    tot = cum.agg(F.sum("c").cast("long").alias("nn"))
+    r2 = F.lit(2) * F.col("cum") - F.col("c") + 1  # doubled midrank per value
+    contra = F.lit(2) * (F.col("nn") + 1) - r2
+    g = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("nn").alias("nn"),
+        F.sum("c_auto").cast("long").alias("n1"),
+        F.sum(F.col("c_auto").cast(_DEC) * r2.cast(_DEC) * r2.cast(_DEC))
         .cast(_DEC)
         .alias("sr2"),
-        F.sum(
-            F.when(
-                F.col("seg") == "AUTOMOBILE",
-                contra.cast(_DEC) * contra.cast(_DEC),
-            ).otherwise(F.lit(0).cast(_DEC))
-        )
+        F.sum(F.col("c_auto").cast(_DEC) * contra.cast(_DEC) * contra.cast(_DEC))
         .cast(_DEC)
         .alias("sc2"),
     )

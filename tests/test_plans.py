@@ -446,3 +446,77 @@ def test_group_percentiles_single_scan_single_shuffle(spark, sf_oracle):
     plan = _simple(spark, "group_percentiles_exact", sf_oracle)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FileScan") == 1
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide guard: no unpartitioned window over a fact-scale input
+# ---------------------------------------------------------------------------
+
+# An unpartitioned Window (global sort / global count) is a single-task
+# stage — the one plan shape that cannot survive a 100x scale-up. It is
+# acceptable ONLY over a frame already reduced below the data grain
+# (an Aggregate, a checkpoint of a reduced frame, a literal/range).
+# scalerank.py provides the scale-safe equivalents (bucket-offset
+# two-pass ranks, value-grain cumulatives, chunked rank regeneration);
+# any query that trips this guard should use those instead of being
+# whitelisted here.
+_WINDOW_GUARD_WHITELIST: set[str] = set()
+
+_REDUCERS = {
+    # cardinality-reducing / already-bounded logical nodes: anything
+    # below these is not fact-grain by the time the window sees it
+    "Aggregate", "LogicalRDD", "LocalRelation", "Range", "GlobalLimit",
+    "Expand",
+}
+_SCAN_NODES = {
+    "LogicalRelation", "DataSourceV2Relation", "DataSourceV2ScanRelation",
+    "HiveTableRelation",
+}
+
+
+def _jchildren(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _reaches_raw_scan(node):
+    name = node.getClass().getSimpleName()
+    if name in _REDUCERS:
+        return False
+    if name in _SCAN_NODES:
+        return True
+    return any(_reaches_raw_scan(c) for c in _jchildren(node))
+
+
+def _unpartitioned_fact_windows(df):
+    hits = []
+
+    def walk(node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and any(_reaches_raw_scan(k) for k in _jchildren(node))
+        ):
+            hits.append(node.toString().split("\n")[0][:160])
+        for c in _jchildren(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+def test_no_unpartitioned_window_over_fact_scale_input(spark, sf_smoke):
+    offenders = {}
+    for name in sorted(plans.REGISTRY):
+        if name in _WINDOW_GUARD_WHITELIST:
+            continue
+        df = plans.REGISTRY[name].build(spark, sf_smoke)
+        hits = _unpartitioned_fact_windows(df)
+        if hits:
+            offenders[name] = hits[0]
+    assert not offenders, (
+        "unpartitioned Window over a fact-scale input (single-task global "
+        f"sort at scale) in: {offenders} — rewrite with plans/scalerank.py "
+        "(value_cum_counts / bucketed_row_number / ranked_points) instead "
+        "of whitelisting"
+    )
