@@ -12,10 +12,15 @@ errors, run counts) is written to BENCH_LOCAL.json at the repo root.
 
 Timing protocol (BASELINE.md): wall-clock around a noop-sink forcing of the
 result, after one warm-up forcing. Budget mode: every query gets warm-up +
-one timed run (pass 1); the top-$SPARK_GRAFT_BENCH_TOPK (default 20)
-slowest then get median-of-$SPARK_GRAFT_BENCH_RUNS (default 3) refinement
-(pass 2) while the wall-clock budget allows — precision where the seconds
-are, coverage everywhere.
+one timed run; the top-$SPARK_GRAFT_BENCH_TOPK (default 20) costliest get
+median-of-$SPARK_GRAFT_BENCH_RUNS (default 3). WHERE the extra runs happen
+matters: a previous BENCH_LOCAL.json names the expected top-k so their
+extra runs execute INLINE at their natural position in the pass — an
+end-of-session refinement phase measures accumulated session state, not
+the query (observed: string_funcs median 7.7s from late re-runs vs 0.2s
+honest). Queries that newly enter the top-k (no prior file, or fresh
+regressions) still get a tail refinement pass within the budget; raw
+per-run lists land in BENCH_LOCAL.json so any artifact is auditable.
 """
 
 from __future__ import annotations
@@ -87,25 +92,39 @@ def main() -> None:
     names = HEADLINE or sorted(plans.REGISTRY)
     t_start = time.perf_counter()
 
-    # ---- pass 1: warm-up + one honest timed forcing for EVERY query ----
+    # expected top-k from the previous run, for INLINE refinement
+    prior_top: set[str] = set()
+    try:
+        prior = json.loads(LOCAL_OUT.read_text())["queries"]
+        prior_top = set(sorted(prior, key=prior.get, reverse=True)[:TOPK])
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+
+    # ---- pass 1: warm-up + timed forcings for EVERY query (expected
+    # top-k get their N_RUNS inline, right here, in pass order) ----
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for i, name in enumerate(names):
         if name not in plans.REGISTRY:
             continue
         build = plans.wrapped_build(name)  # the shipped surface
+        n_runs = N_RUNS if name in prior_top else 1
         try:
             _force(build(spark, SF_DIR))  # warm-up (JIT + file-listing cache)
-            runs[name] = [_timed_force(spark, build, SF_DIR)]
+            runs[name] = [
+                _timed_force(spark, build, SF_DIR) for _ in range(n_runs)
+            ]
         except Exception as exc:  # one failing query must not lose the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         if (i + 1) % 20 == 0:
             _gc_hygiene(spark)
 
-    # ---- pass 2: refine the costliest queries to median-of-N_RUNS ----
+    # ---- pass 2: tail refinement only for NEW top-k entrants ----
     by_cost = sorted(runs, key=lambda n: runs[n][0], reverse=True)
-    refined: list[str] = []
+    refined: list[str] = [n for n in runs if len(runs[n]) >= N_RUNS]
     for name in by_cost[:TOPK]:
+        if len(runs[name]) >= N_RUNS:
+            continue
         if time.perf_counter() - t_start > BUDGET_S:
             break
         build = plans.wrapped_build(name)
@@ -130,6 +149,9 @@ def main() -> None:
         "queries": dict(sorted(timings.items())),
         "runs_per_query": {"refined_top": N_RUNS, "rest": 1},
         "refined_queries": sorted(refined),
+        "runs_raw": {
+            n: [round(t, 4) for t in ts] for n, ts in runs.items() if len(ts) > 1
+        },
         "errors": errors,
         "wall_s": round(time.perf_counter() - t_start, 1),
     }
