@@ -333,11 +333,16 @@ def exact_knn_block_gemm(
     target set. Self-pairs are excluded.
 
     Returns (ia, la, ib, lb, d2): query id/label, neighbor id/label,
-    exact integer squared distance. Shuffle volume is 2·n_blocks·n
-    rows; per-task memory two block slices — size n_blocks so a slice
-    fits an executor, as in cosine_dup_pairs_blocked.
+    exact integer squared distance. Labels cross the Arrow boundary as
+    strings (pandas object dtype) but come back cast to the INPUT
+    label dtype, so callers see the same label type they fed in —
+    consumers compare against the raw table (and its oracle schema).
+    Shuffle volume is 2·n_blocks·n rows; per-task memory two block
+    slices — size n_blocks so a slice fits an executor, as in
+    cosine_dup_pairs_blocked.
     """
     nb, kk = int(n_blocks), int(k)
+    lab_type = df.schema[label_col].dataType
     qvec = F.expr(
         f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
     )
@@ -417,8 +422,11 @@ def exact_knn_block_gemm(
         .applyInPandas(kernel, schema="ia long, la string, ib long, lb string, d2 long")
     )
     w = Window.partitionBy("ia").orderBy("d2", "ib")
-    return cand.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= kk
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kk)
+        .withColumn("la", F.col("la").cast(lab_type))
+        .withColumn("lb", F.col("lb").cast(lab_type))
     )
 
 

