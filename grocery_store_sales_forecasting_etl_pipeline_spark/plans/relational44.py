@@ -316,50 +316,46 @@ WITH d0 AS (
          CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
   FROM lineitem GROUP BY 1, 2
 ),
-d AS (
-  SELECT partkey, qty,
-         CAST(date_diff('day', min(week_start) OVER (PARTITION BY partkey),
-                        week_start) // 7 AS BIGINT) AS w
-  FROM d0
-),
-b AS (
+g AS (
   SELECT partkey,
-         CAST(max(w) + 1 AS BIGINT) AS span,
-         CAST(sum(qty) AS BIGINT) AS total
-  FROM d GROUP BY partkey
-  HAVING max(w) + 1 >= {_SIM_MIN_WEEKS}
-),
-grid AS (
-  SELECT b.partkey, b.span, b.total,
-         CAST(ceil(b.total * 1.0 / b.span) AS BIGINT) AS q_weekly,
-         gs.i AS w,
-         COALESCE(d.qty, 0) AS dem
-  FROM b
-  CROSS JOIN LATERAL (SELECT unnest(range(0, b.span)) AS i) gs
-  LEFT JOIN d ON d.partkey = b.partkey AND d.w = gs.i
-),
-arr AS (
-  SELECT partkey, span, total, q_weekly,
-         list(dem ORDER BY w) AS dems
-  FROM grid GROUP BY 1, 2, 3, 4
+         CAST(min(week_start) - DATE '1970-01-01' AS BIGINT) AS w0d,
+         CAST((max(week_start) - min(week_start)) // 7 + 1 AS BIGINT) AS span,
+         CAST(sum(qty) AS BIGINT) AS total,
+         list(list_value(CAST(week_start - DATE '1970-01-01' AS BIGINT), qty)
+              ORDER BY week_start) AS raw
+  FROM d0 GROUP BY partkey
+  HAVING (max(week_start) - min(week_start)) // 7 + 1 >= {_SIM_MIN_WEEKS}
 ),
 sim AS (
-  SELECT partkey, span, total, q_weekly,
+  SELECT partkey, span, total,
+         CAST(ceil(total * 1.0 / span) AS BIGINT) AS q_weekly,
          list_reduce(
-           list_prepend(list_value(2 * q_weekly, CAST(0 AS BIGINT),
-                                   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-                        list_transform(dems,
-                                       x -> list_value(x, CAST(0 AS BIGINT),
-                                                       CAST(0 AS BIGINT),
-                                                       CAST(0 AS BIGINT)))),
+           list_prepend(
+             list_value(2 * CAST(ceil(total * 1.0 / span) AS BIGINT),
+                        CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                        CAST(0 AS BIGINT), CAST(-1 AS BIGINT)),
+             list_transform(raw,
+                            p -> list_value((p[1] - w0d) // 7, p[2],
+                                            CAST(0 AS BIGINT),
+                                            CAST(0 AS BIGINT),
+                                            CAST(0 AS BIGINT)))),
            (acc, x) -> list_value(
-             acc[1] + q_weekly - least(acc[1] + q_weekly, x[1]),
-             acc[2] + least(acc[1] + q_weekly, x[1]),
-             acc[3] + x[1] - least(acc[1] + q_weekly, x[1]),
-             acc[4] + CASE WHEN x[1] > acc[1] + q_weekly THEN 1 ELSE 0 END
+             acc[1] + (x[1] - acc[5]) * CAST(ceil(total * 1.0 / span) AS BIGINT)
+               - least(acc[1] + (x[1] - acc[5])
+                         * CAST(ceil(total * 1.0 / span) AS BIGINT), x[2]),
+             acc[2] + least(acc[1] + (x[1] - acc[5])
+                              * CAST(ceil(total * 1.0 / span) AS BIGINT), x[2]),
+             acc[3] + x[2] - least(acc[1] + (x[1] - acc[5])
+                                     * CAST(ceil(total * 1.0 / span) AS BIGINT),
+                                   x[2]),
+             acc[4] + CASE WHEN x[2] > acc[1] + (x[1] - acc[5])
+                                         * CAST(ceil(total * 1.0 / span)
+                                                AS BIGINT)
+                           THEN 1 ELSE 0 END,
+             x[1]
            )
          ) AS st
-  FROM arr
+  FROM g
 )
 SELECT partkey, span AS span_weeks, total AS total_demand, q_weekly,
        CAST(st[2] AS BIGINT) AS filled_units,
@@ -383,15 +379,20 @@ def inventory_fill_rate_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     span), because stock accumulates through them.
 
     Determinism: the simulation state (stock, filled, lost,
-    stockout-weeks) is ALL-INTEGER and folds an ordered array — both
-    engines execute the identical recurrence on identical integers,
-    bit-exact, no float until the output ratio.
+    stockout-weeks, previous demand week) is ALL-INTEGER and folds an
+    ordered array — both engines execute the identical recurrence on
+    identical integers, bit-exact, no float until the output ratio.
 
-    Scale notes: one fold to (part, week) demand grain; each part's
-    grid explodes from ITS OWN [min, max] span (no global-calendar
-    cross join — the supplier_gap_fill discipline), the fill join
-    shares the part-keyed shuffle, and the fold state per part is
-    |span| longs — the per-entity sequential-recurrence escape hatch.
+    Scale notes: one fold to (part, week) demand grain, then ONE
+    (partkey) aggregation collecting the SPARSE demand list — the
+    simulation never materializes zero-demand weeks, because a run of
+    g empty weeks only adds g·q_weekly stock (filled/lost/stockout
+    unchanged), so the fold jumps demand-to-demand via the gap term
+    (x.w − prev_w)·q_weekly. The previous dense-grid formulation
+    exploded each part's full [0, span) calendar and joined demand
+    back in (6.7M grid rows vs 0.6M demand rows at sf0.1; 11s → ~4s):
+    grid size scaled with span, this scales with actual demand rows.
+    The fold state per part is 5 longs.
     """
     li = _t(spark, sf_dir, "lineitem")
     monday = F.date_sub(
@@ -401,67 +402,60 @@ def inventory_fill_rate_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = li.groupBy(
         F.col("l_partkey").alias("partkey"), monday.alias("week_start")
     ).agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty"))
-    # week INDEX per demand row (window min over the part) so the fill
-    # join below is a pure (partkey, w) EQUI join — joining on a
-    # computed date expression instead leaves the week condition as a
-    # post-filter over each part's grid x demand cross (measured 8.6s
-    # vs 2.9s at sf0.1)
-    w_part = Window.partitionBy("partkey")
-    d = d0.select(
-        "partkey",
-        "qty",
-        (F.datediff(F.col("week_start"), F.min("week_start").over(w_part)) / 7)
-        .cast("long")
-        .alias("w"),
-    ).localCheckpoint(eager=False)
-    b = (
-        d.groupBy("partkey")
+    g = (
+        d0.groupBy("partkey")
         .agg(
-            (F.max("w") + 1).cast("long").alias("span"),
+            F.min("week_start").alias("w0"),
+            F.max("week_start").alias("wmax"),
             F.sum("qty").cast("long").alias("total"),
+            F.sort_array(F.collect_list(F.struct("week_start", "qty"))).alias(
+                "raw"
+            ),
+        )
+        .withColumn(
+            "span", (F.datediff("wmax", "w0") / 7 + 1).cast("long")
         )
         .filter(F.col("span") >= _SIM_MIN_WEEKS)
-        .withColumn("q_weekly", F.ceil(F.col("total") * 1.0 / F.col("span")).cast("long"))
-    )
-    grid = (
-        b.select(
-            "partkey",
-            "span",
-            "total",
-            "q_weekly",
-            F.explode_outer(F.sequence(F.lit(0), F.col("span") - 1)).alias("w"),
-        )
-        .join(d, ["partkey", "w"], "left")
-        .select(
-            "partkey",
-            "span",
-            "total",
-            "q_weekly",
-            "w",
-            F.coalesce("qty", F.lit(0)).cast("long").alias("dem"),
+        .withColumn(
+            "q_weekly", F.ceil(F.col("total") * 1.0 / F.col("span")).cast("long")
         )
     )
-    arr = grid.groupBy("partkey", "span", "total", "q_weekly").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("w", "dem"))), lambda r: r["dem"]
-        ).alias("dems")
+    # sparse (week-index, demand) pairs; week index is exact integer
+    # (Monday-to-Monday datediff is a multiple of 7)
+    dems = F.transform(
+        F.col("raw"),
+        lambda r: F.struct(
+            (F.datediff(r["week_start"], F.col("w0")) / 7)
+            .cast("long")
+            .alias("w"),
+            r["qty"].cast("long").alias("dem"),
+        ),
     )
+    q = F.col("q_weekly")
+
+    def step(acc, x):
+        stock1 = acc[0] + (x["w"] - acc[4]) * q  # gap replenishment
+        take = F.least(stock1, x["dem"])
+        return F.array(
+            stock1 - take,
+            acc[1] + take,
+            acc[2] + x["dem"] - take,
+            acc[3] + F.when(x["dem"] > stock1, 1).otherwise(0),
+            x["w"],
+        )
+
     fold = F.aggregate(
-        "dems",
+        dems,
         F.array(
-            (F.lit(2) * F.col("q_weekly")).cast("long"),
+            (F.lit(2) * q).cast("long"),
             F.lit(0).cast("long"),
             F.lit(0).cast("long"),
             F.lit(0).cast("long"),
+            F.lit(-1).cast("long"),
         ),
-        lambda acc, x: F.array(
-            acc[0] + F.col("q_weekly") - F.least(acc[0] + F.col("q_weekly"), x),
-            acc[1] + F.least(acc[0] + F.col("q_weekly"), x),
-            acc[2] + x - F.least(acc[0] + F.col("q_weekly"), x),
-            acc[3] + F.when(x > acc[0] + F.col("q_weekly"), 1).otherwise(0),
-        ),
+        step,
     )
-    return arr.select(
+    return g.select(
         "partkey",
         F.col("span").alias("span_weeks"),
         F.col("total").alias("total_demand"),

@@ -19,9 +19,11 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational41 impor
 SF = "/root/testdata/sf0.01"
 
 
-def _pois_weight(u24: int) -> int:
+def _pois_weight(u6: str) -> int:
+    # thresholds are lowercase 6-hex-char strings; lexicographic compare
+    # equals numeric compare for fixed-width lowercase hex
     for k, t in enumerate(_POIS_T):
-        if u24 < t:
+        if u6 < t:
             return k
     return 8
 
@@ -38,10 +40,11 @@ def test_bootstrap_replays_with_hashlib(spark):
     tot = sum(c for _, c in cents)
     means = []
     for b in range(_B):
+        g, j = divmod(b, 4)
         swx = sw = 0
         for k, c in cents:
-            u24 = int(hashlib.md5(f"{k}-{b}".encode()).hexdigest()[:6], 16)
-            wgt = _pois_weight(u24)
+            u6 = hashlib.md5(f"{k}-{g}".encode()).hexdigest()[6 * j : 6 * j + 6]
+            wgt = _pois_weight(u6)
             swx += wgt * c
             sw += wgt
         means.append(swx / sw)
