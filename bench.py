@@ -43,11 +43,15 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 TOPK = int(os.environ.get("SPARK_GRAFT_BENCH_TOPK", "20"))
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780"))
 SUMMARY_QUERIES = 25  # how many per-query timings fit the printed line
-LOCAL_OUT = REPO / "BENCH_LOCAL.json"
 # headline set override; None = bench everything registered
 HEADLINE = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if os.environ.get(
     "SPARK_GRAFT_BENCH_QUERIES"
 ) else None
+# Subset runs write to a SIDE file: BENCH_LOCAL.json carries the last
+# FULL-registry table and seeds the next full run's inline top-k
+# refinement — a 3-query debugging run must not clobber those seeds.
+LOCAL_OUT = REPO / ("BENCH_LOCAL_SUBSET.json" if HEADLINE else "BENCH_LOCAL.json")
+_SEED_IN = REPO / "BENCH_LOCAL.json"  # top-k seeds always from the full table
 
 
 def _sf_from_dir(d: str) -> float:
@@ -95,7 +99,7 @@ def main() -> None:
     # expected top-k from the previous run, for INLINE refinement
     prior_top: set[str] = set()
     try:
-        prior = json.loads(LOCAL_OUT.read_text())["queries"]
+        prior = json.loads(_SEED_IN.read_text())["queries"]
         prior_top = set(sorted(prior, key=prior.get, reverse=True)[:TOPK])
     except (OSError, ValueError, KeyError, TypeError):
         pass
