@@ -520,3 +520,35 @@ def test_no_unpartitioned_window_over_fact_scale_input(spark, sf_smoke):
         "(value_cum_counts / bucketed_row_number / ranked_points) instead "
         "of whitelisting"
     )
+
+
+def test_wrapped_limit_queries_keep_topk_fusion(spark, sf_smoke):
+    """The decimal output boundary must not break TakeOrderedAndProject
+    fusion on limit-rooted queries. apply_decimal_boundary coalesces
+    bounded results to one partition precisely so the child's
+    Limit(Sort) pattern stays fusable — a regression here re-introduces
+    the CollectLimit + range-partitioned global Sort whose sampling pass
+    re-executes non-exchange upstream subtrees (hybrid_rrf_search 9.1s
+    vs 5.0s at sf0.1)."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans import registry
+
+    offenders = {}
+    for name in sorted(plans.REGISTRY):
+        cols = registry.DECIMAL_BOUNDARY.get(name, [])
+        if not cols:
+            continue
+        raw = plans.REGISTRY[name].build(spark, sf_smoke)
+        if not registry._root_is_limited(raw):
+            continue
+        wrapped = registry.wrapped_build(name)(spark, sf_smoke)
+        p = wrapped._jdf.queryExecution().executedPlan().toString()
+        if "CollectLimit" in p and "TakeOrderedAndProject" not in p.split(
+            "CollectLimit"
+        )[1]:
+            offenders[name] = "CollectLimit without TakeOrdered below"
+        elif "Exchange rangepartitioning" in p and "TakeOrderedAndProject" not in p:
+            offenders[name] = "range-partitioned global sort"
+    assert not offenders, (
+        f"decimal boundary broke top-k fusion in: {offenders} — see "
+        "registry._root_is_limited / apply_decimal_boundary"
+    )
