@@ -112,7 +112,13 @@ def main() -> None:
         if name not in plans.REGISTRY:
             continue
         build = plans.wrapped_build(name)  # the shipped surface
-        n_runs = N_RUNS if name in prior_top else 1
+        # inline refinement is EXTRA work and must respect the budget:
+        # the baseline warm-up + single timed run always happens (that
+        # wall is the driver-proven ~15 min envelope), but once the
+        # budget is spent the expected-top-k degrade to 1 run instead of
+        # risking a harness timeout that would lose the summary line
+        over_budget = time.perf_counter() - t_start > BUDGET_S
+        n_runs = N_RUNS if (name in prior_top and not over_budget) else 1
         try:
             _force(build(spark, SF_DIR))  # warm-up (JIT + file-listing cache)
             runs[name] = [
