@@ -24,8 +24,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return plans.REGISTRY["weekly_lag_features"].build(spark, SMOKE_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Routed through the same output-boundary wrapper ``queries()`` uses, so
+    the smoke-checked surface is exactly the adjudicated one."""
+    return plans.wrapped_build("weekly_lag_features")(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -157,6 +157,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": dict(sorted(timings.items())),
+        # per-entry run count: a runs=1 number is a single un-medianed
+        # forcing in a loaded sweep — cross-round deltas on those entries
+        # are sweep noise until re-measured solo (BASELINE.md protocol)
+        "runs_count": {n: len(ts) for n, ts in sorted(runs.items())},
+        "protocol": f"top{N_RUNS}/rest1",
         "runs_per_query": {"refined_top": N_RUNS, "rest": 1},
         "refined_queries": sorted(refined),
         "runs_raw": {
@@ -178,6 +183,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "protocol": f"top{N_RUNS}/rest1",
         "runs": {"top": N_RUNS, "rest": 1},
         "full_results": LOCAL_OUT.name,
     }

@@ -13,6 +13,28 @@ if str(REPO) not in sys.path:
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
 
+# Two-tier suite (pytest.ini): the heavyweight modules below dominate the
+# full-suite wall clock (full-registry oracle parity and plan walks are
+# O(#registered queries); streaming suites block on micro-batch triggers).
+# Everything else is the sub-5-minute fast gate: `pytest -m fast`.
+_SLOW_MODULES = {
+    "test_oracle_parity",
+    "test_plans",
+    "test_streaming",
+    "test_stateful_streaming",
+    "test_scd2_streaming",
+    "test_maintenance",
+    "test_incremental_pipeline",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(
+            pytest.mark.slow if mod in _SLOW_MODULES else pytest.mark.fast
+        )
+
 
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):

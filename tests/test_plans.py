@@ -538,7 +538,8 @@ def test_wrapped_limit_queries_keep_topk_fusion(spark, sf_smoke):
         if not cols:
             continue
         raw = plans.REGISTRY[name].build(spark, sf_smoke)
-        if not registry._root_is_limited(raw):
+        limit = registry._root_limit(raw)
+        if limit is None or limit > registry._COALESCE_LIMIT_MAX:
             continue
         wrapped = registry.wrapped_build(name)(spark, sf_smoke)
         p = wrapped._jdf.queryExecution().executedPlan().toString()
@@ -550,5 +551,5 @@ def test_wrapped_limit_queries_keep_topk_fusion(spark, sf_smoke):
             offenders[name] = "range-partitioned global sort"
     assert not offenders, (
         f"decimal boundary broke top-k fusion in: {offenders} — see "
-        "registry._root_is_limited / apply_decimal_boundary"
+        "registry._root_limit / apply_decimal_boundary"
     )

@@ -1,14 +1,15 @@
 #!/usr/bin/env python
-"""Generate the driver-boundary decimal manifest.
+"""Generate the driver-boundary numeric manifest.
 
 For every registered query with a DuckDB oracle, DESCRIBE the oracle and
-record which output columns are floating-point (DOUBLE/FLOAT/REAL). The
-registry uses this manifest to quantize those columns to DECIMAL(38,6) on
-BOTH sides of the driver comparison (Spark builder and oracle SQL), making
-the value hash immune to oracle-version float drift and to whatever float
-canonicalization the external harness applies (CORRECTNESS_r06: 8
-hash-mismatches that were bit-identical under the pinned duckdb 1.0.0 —
-see VERDICT.md "What's wrong" #1).
+record which output columns are at risk of pandas-representation skew:
+floating-point (DOUBLE/FLOAT/REAL — the r6 ULP-drift class) plus
+DECIMAL/HUGEINT/UBIGINT (the r8/r9 class: duckdb ``.df()`` degrades these
+to float64 — e.g. ``sum(BIGINT)`` is HUGEINT — while Spark delivers
+int64 or ``decimal.Decimal`` objects through ``toPandas()``, so the
+driver's pandas hasher sees ``5`` vs ``5.0``). The registry uses this
+manifest to quantize those columns to DOUBLE via the same piecewise rule
+on BOTH sides of the driver comparison (Spark builder and oracle SQL).
 
 DESCRIBE only binds/plans the query (no execution), so regenerating the
 manifest over the full registry takes seconds. Run after adding queries:
@@ -37,6 +38,8 @@ OUT = (
 )
 
 FLOAT_TYPES = {"DOUBLE", "FLOAT", "REAL", "FLOAT4", "FLOAT8"}
+# Types duckdb's .df() degrades to float64 while Spark stays int64/Decimal.
+WIDENED_PREFIXES = ("DECIMAL", "NUMERIC", "HUGEINT", "UBIGINT")
 
 
 def main() -> None:
@@ -55,7 +58,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and keep going
             errors[name] = str(exc)[:200]
             continue
-        cols = [c for c, typ, *_ in desc if typ.upper() in FLOAT_TYPES]
+        cols = [
+            c
+            for c, typ, *_ in desc
+            if typ.upper() in FLOAT_TYPES
+            or typ.upper().startswith(WIDENED_PREFIXES)
+        ]
         if cols:
             manifest[name] = cols
     con.close()

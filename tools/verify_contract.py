@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Drive the round driver's contract surface exactly the way it does:
 a VANILLA SparkSession (none of session.py's confs), __spark_entry__'s
-entry()/queries()/oracle_sql(), and a DuckDB oracle comparison at
-sf0.01 (sorted columns, order-insensitive rows, 6dp float rendering —
-the decimal output boundary makes the 6dp rendering exact for every
-manifest-listed column).
+entry()/queries()/oracle_sql(), and a DuckDB oracle comparison at sf0.01
+through the PANDAS path on both sides — Spark ``toPandas()`` vs duckdb
+``.df()``, dtype-sensitive cell rendering (tests/oracle_utils.py). That
+is the driver's observable canonicalization path: a ``fetchall()``-based
+comparator returns ``decimal.Decimal`` just like Spark Rows do and is
+blind to the representation skew that redded 38/50 driver checks in r8.
 
 Usage:
     python tools/verify_contract.py               # full registry
@@ -16,7 +18,6 @@ Exit code 0 iff every compared query matches ("DONE bad = 0").
 
 from __future__ import annotations
 
-import datetime as dt
 import os
 import sys
 from pathlib import Path
@@ -25,25 +26,13 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
-def cell(v) -> str:
-    if v is None:
-        return "N"
-    if isinstance(v, float):
-        return f"{v:.6f}"
-    if isinstance(v, (dt.datetime, dt.date)):
-        return v.isoformat()
-    return str(v)
 
 
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
+
+    from tests.oracle_utils import TABLES, _canon_pandas
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -62,28 +51,32 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     subset = set(sys.argv[1:])
+    unknown = subset - set(qs)
+    if unknown:
+        # A misspelled subset arg must not exit 0 having verified nothing.
+        print("UNKNOWN queries:", ", ".join(sorted(unknown)))
+        return 1
     bad = 0
     for name, fn in qs.items():
         if subset and name not in subset:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sorted(sdf.columns)
-            srows = sorted(
-                tuple(cell(r[c]) for c in scols) for r in sdf.collect()
-            )
+            spdf = fn(spark, SF_DIR).toPandas()
             if name in osql:
-                cur = con.execute(osql[name])
-                desc = [d[0] for d in cur.description]
-                orows = sorted(
-                    tuple(cell(r[desc.index(c)]) for c in sorted(desc))
-                    for r in cur.fetchall()
-                )
-                if scols != sorted(desc) or srows != orows:
+                opdf = con.execute(osql[name]).df()
+                if sorted(spdf.columns) != sorted(opdf.columns):
                     bad += 1
-                    print("MISMATCH", name, len(srows), len(orows), flush=True)
+                    print("SCHEMA MISMATCH", name, sorted(spdf.columns),
+                          sorted(opdf.columns), flush=True)
+                    continue
+                srows, orows = _canon_pandas(spdf), _canon_pandas(opdf)
+                if srows != orows:
+                    bad += 1
+                    diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:2]
+                    print("MISMATCH", name, len(srows), len(orows),
+                          str(diffs)[:300], flush=True)
             else:
-                print("rows-only:", name, len(srows), flush=True)
+                print("rows-only:", name, len(spdf), flush=True)
         except Exception as exc:  # noqa: BLE001 — report and keep sweeping
             bad += 1
             print("ERROR", name, f"{type(exc).__name__}: {exc}"[:160], flush=True)
