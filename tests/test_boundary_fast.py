@@ -1,0 +1,93 @@
+"""Fast-tier guards for the driver-boundary numeric quantization.
+
+The r8 post-mortem (VERDICT.md): the driver canonicalizes BOTH engines
+through pandas, where representations diverge by SQL type — duckdb
+``.df()`` degrades DECIMAL/HUGEINT to float64 while Spark ``toPandas()``
+yields ``decimal.Decimal``/int64 — so the full oracle-parity suite
+(slow tier) passing via ``fetchall()`` proved nothing about the driver's
+observable path. These two tests run in the fast gate and fail on any
+reintroduction of a representation skew:
+
+1. bit-parity of the quantization itself on adversarial values
+   (half-ties, ±0.0, the 2^53/10^6 magnitude boundary, NaN/Inf, BIGINT
+   overflow range) through the REAL pandas paths of both engines;
+2. pandas-path parity on a representative query per output-type class
+   (DOUBLE, BIGINT, VARCHAR, DATE, TIMESTAMP, INTEGER, HUGEINT,
+   DECIMAL(38,0), internal Spark DecimalType).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import duckdb
+import pandas as pd
+import pytest
+
+from grocery_store_sales_forecasting_etl_pipeline_spark import plans
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
+    apply_decimal_boundary,
+    wrap_oracle_decimal,
+)
+from tests.oracle_utils import compare
+
+# one query per pandas-representation class (duckdb DESCRIBE types in
+# comments); parity for the REST of the registry is the slow tier's
+# test_oracle_parity + tools/verify_contract.py
+REPRESENTATIVES = [
+    "pricing_summary",  # VARCHAR + DOUBLE aggregates
+    "weekly_lag_features",  # BIGINT keys + DOUBLE lags (flagship)
+    "daily_revenue_cusum",  # DATE + HUGEINT (sum of BIGINT) + INTEGER flags
+    "conformal_coverage_audit",  # HUGEINT quantile + BIGINT counts
+    "embedding_participation_ratio",  # DECIMAL(38,0) exact trace
+    "ship_delay_ks_test",  # internal Spark DecimalType (d_star pattern)
+    "date_funcs",  # DATE + calendar BIGINTs
+    "keyed_dedup",  # TIMESTAMP + VARCHAR + DOUBLE passthrough
+    "table_profile",  # stringified typed min/max (VARCHAR everywhere)
+]
+
+
+def test_quantization_bit_parity_adversarial(spark):
+    """Spark and duckdb quantization must be BIT-IDENTICAL float64
+    through toPandas()/.df() on values chosen to break it."""
+    vals = [
+        0.0, -0.0, 1e-7, -1e-7, 1.5e-6, -1.5e-6, 2.5e-6, 0.1234565,
+        0.12345649999999999, 5.0, 5.000001, -5.0, 123456789.123456499,
+        1443283136200801.5,  # the observed r8 DECIMAL-cast divergence value
+        9.2e17, 1.1e18, float("nan"), float("inf"), -float("inf"),
+        0.30000000000000004, 1 / 3, -1 / 3, 2 / 3, 1e9 - 0.5, 1e9 + 0.3,
+        123.4999995, -123.4999995, 0.9999995, -0.9999995,
+    ]
+    rng = random.Random(7)
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(100)]
+    vals += [rng.uniform(-1, 1) * 10 ** rng.randint(-8, 17) for _ in range(100)]
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    spdf = apply_decimal_boundary(df, ["x"]).toPandas().sort_values("i")
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(vals)), "x": vals}))
+    opdf = con.execute(wrap_oracle_decimal("SELECT i, x FROM t", ["x"])).df()
+    opdf = opdf.sort_values("i")
+
+    assert str(spdf["x"].dtype) == "float64"
+    assert str(opdf["x"].dtype) == "float64"
+    bad = []
+    for i, (s, o) in enumerate(zip(spdf["x"].tolist(), opdf["x"].tolist())):
+        s_null = s is None or (isinstance(s, float) and math.isnan(s))
+        o_null = o is None or (isinstance(o, float) and math.isnan(o))
+        if s_null and o_null:
+            continue
+        if s_null != o_null or struct.pack("<d", s) != struct.pack("<d", o):
+            bad.append((i, vals[i], s, o))
+    assert not bad, f"bit divergence on {len(bad)} values: {bad[:5]}"
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_representative_pandas_path_parity(spark, sf_oracle, name):
+    df = plans.wrapped_build(name)(spark, sf_oracle)
+    compare(df, plans.wrapped_oracle(name), sf_oracle, name=name)
