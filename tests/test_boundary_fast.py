@@ -91,3 +91,35 @@ def test_quantization_bit_parity_adversarial(spark):
 def test_representative_pandas_path_parity(spark, sf_oracle, name):
     df = plans.wrapped_build(name)(spark, sf_oracle)
     compare(df, plans.wrapped_oracle(name), sf_oracle, name=name)
+
+
+def test_manifest_not_stale(sf_smoke):
+    """The committed _decimal_boundary.json must equal what the generator
+    computes against the CURRENT registry and testdata. Catches both
+    forgetting to regenerate after adding/altering oracles AND the driver
+    regenerating /root/testdata with drifted column types (the r3 events
+    ts incident) — either way an at-risk column would ship unquantized."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "tools"))
+    from gen_decimal_manifest import build_manifest
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
+        DECIMAL_BOUNDARY,
+    )
+    from tests.oracle_utils import duckdb_con
+
+    con = duckdb_con(sf_smoke)
+    try:
+        fresh, errors = build_manifest(con)
+    finally:
+        con.close()
+    assert not errors, f"oracle DESCRIBE errors: {errors}"
+    assert fresh == DECIMAL_BOUNDARY, (
+        "stale boundary manifest — rerun `python tools/gen_decimal_manifest.py`; "
+        f"added={sorted(set(fresh) - set(DECIMAL_BOUNDARY))[:5]} "
+        f"removed={sorted(set(DECIMAL_BOUNDARY) - set(fresh))[:5]} "
+        f"changed={[k for k in fresh if DECIMAL_BOUNDARY.get(k) not in (None, fresh[k])][:5]}"
+    )

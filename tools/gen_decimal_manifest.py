@@ -42,12 +42,16 @@ FLOAT_TYPES = {"DOUBLE", "FLOAT", "REAL", "FLOAT4", "FLOAT8"}
 WIDENED_PREFIXES = ("DECIMAL", "NUMERIC", "HUGEINT", "UBIGINT")
 
 
-def main() -> None:
-    from oracle_utils import duckdb_con
-
+def build_manifest(
+    con: duckdb.DuckDBPyConnection,
+) -> tuple[dict[str, list[str]], dict[str, str]]:
+    """DESCRIBE every registered oracle against the given connection and
+    return (manifest, errors). Pure computation — shared by the CLI below
+    and the fast-tier staleness guard (tests/test_boundary_fast.py), so
+    the committed file can never silently diverge from what this logic
+    would produce against the CURRENT testdata and registry."""
     from grocery_store_sales_forecasting_etl_pipeline_spark import plans
 
-    con: duckdb.DuckDBPyConnection = duckdb_con(SF_DIR)
     manifest: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(plans.REGISTRY.items()):
@@ -66,6 +70,14 @@ def main() -> None:
         ]
         if cols:
             manifest[name] = cols
+    return manifest, errors
+
+
+def main() -> None:
+    from oracle_utils import duckdb_con
+
+    con: duckdb.DuckDBPyConnection = duckdb_con(SF_DIR)
+    manifest, errors = build_manifest(con)
     con.close()
     if errors:
         # Refuse to write a partial manifest: an errored query would
