@@ -42,6 +42,32 @@ def test_array_typed_variant_parity(spark, sf_oracle):
     compare(df, ARRAY_AGG_TYPED_ORACLE, sf_oracle, name="array_agg_arrays_typed")
 
 
+def test_every_spark_float_column_is_manifested(spark, sf_smoke):
+    """Reverse-direction completeness of the boundary manifest: the
+    manifest is DuckDB-derived (DESCRIBE over oracles), so a Spark-side
+    double/decimal output column whose ORACLE types integer/varchar would
+    ship unquantized and hash float64 against int64/str in the driver's
+    pandas canonicalizer. Assert no such column exists (r9 audit: 0)."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
+        DECIMAL_BOUNDARY,
+    )
+
+    bad = []
+    for name, q in sorted(plans.REGISTRY.items()):
+        if q.oracle is None:
+            continue
+        man = set(DECIMAL_BOUNDARY.get(name, []))
+        for f in q.build(spark, sf_smoke).schema.fields:
+            t = f.dataType.typeName()
+            if (t in ("double", "float") or t.startswith("decimal")) and f.name not in man:
+                bad.append((name, f.name, t))
+    assert not bad, (
+        f"unmanifested Spark float/decimal output columns: {bad[:10]} — "
+        "the oracle types these non-float; align the oracle or rerun "
+        "tools/gen_decimal_manifest.py and investigate"
+    )
+
+
 def test_no_registered_query_emits_array_columns(spark, sf_oracle):
     """Guard: no registered builder may expose an array/map-typed column —
     the driver canonicalizer crashes on list cells even rows-only."""
