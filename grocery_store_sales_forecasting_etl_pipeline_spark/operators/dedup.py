@@ -87,6 +87,35 @@ def _shingle_rows(
     )
 
 
+# Input size past which the capped shingle frame is materialized instead
+# of recomputed per consumer (see the A/B note inside jaccard_pairs):
+# measured crossover sits between 6.8 MB (sf1 docs: recompute 7.2s beats
+# checkpoint 8.5s) and 84 MB (sf10 docs: checkpoint 67s beats recompute
+# 209s — 3.1x).
+_SHINGLE_MATERIALIZE_MIN_INPUT_BYTES = 32 * 1024 * 1024
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the frame's input files, via the JVM Hadoop
+    FileSystem (metadata-only, works for any configured scheme — local,
+    HDFS, object stores). None when unknowable (non-file source, FS
+    error) — callers fall back to their small-input default."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        jvm = df.sparkSession._jvm
+        hconf = df.sparkSession._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(hconf)
+            total += fs.getFileStatus(path).getLen()
+        return total
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fail a build
+        return None
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -95,6 +124,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     block_cols: Sequence[str] = (),
     max_df: int | None = None,
+    materialize_shingles: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-k-gram Jaccard similarity ≥ threshold.
 
@@ -130,11 +160,22 @@ def jaccard_pairs(
             .drop("__df")
         )
     # `sh` feeds sizes AND both self-join sides (3 recomputes of the
-    # tokenize+explode). Deliberately NOT checkpointed: the exploded
-    # shingle frame is corpus×k-grams wide, and materializing it costs
-    # more than the recomputes save (A/B at sf1: 8.5s checkpointed vs
-    # 7.2s recomputed) — the multi-derivation checkpoint rule applies to
-    # SMALL derived frames only (BASELINE.md r5).
+    # tokenize+explode+window without materialization). The checkpoint
+    # decision is SCALE-DEPENDENT, so it adapts on input size: at small
+    # corpora materializing costs more than the recomputes save (A/B at
+    # sf1/6.8 MB: 8.5s checkpointed vs 7.2s recomputed), but past the
+    # point where the exploded frame stops fitting the page cache the
+    # recomputes dominate the whole query (A/B at sf10/84 MB: 209.3s
+    # recomputed vs 67.1s checkpointed — 3.1x). localCheckpoint, never
+    # persist(): the plan cache would silently serve a benchmark's
+    # second run (BASELINE.md r5).
+    if materialize_shingles is None:
+        size = _input_bytes(df)
+        materialize_shingles = (
+            size is not None and size >= _SHINGLE_MATERIALIZE_MIN_INPUT_BYTES
+        )
+    if materialize_shingles:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -81,3 +81,41 @@ def test_shingle_rows_skips_repartition_when_wide_enough(spark, sf_oracle):
     out2 = dd._shingle_rows(narrow, "doc_id", "text", 2, ())
     plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
     assert marker in plan2, plan2
+
+
+def test_input_bytes_reads_parquet_metadata(spark, sf_oracle):
+    import os
+
+    path = f"{sf_oracle}/documents.parquet"
+    df = spark.read.parquet(path)
+    measured = dd._input_bytes(df)
+    # the driver's tables are single parquet FILES; probe dirs are
+    # directories of part files — handle both
+    if os.path.isfile(path):
+        actual = os.path.getsize(path)
+    else:
+        actual = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    assert measured == actual
+
+
+def test_shingle_materialization_gate_and_equivalence(spark, sf_oracle):
+    """The adaptive shingle checkpoint must (a) stay OFF at small input
+    (the measured sf1 crossover: recompute wins below ~32 MB) and (b)
+    be a pure execution-strategy choice — both variants bit-identical."""
+    df = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    size = dd._input_bytes(df)
+    assert size is not None and size < dd._SHINGLE_MATERIALIZE_MIN_INPUT_BYTES
+
+    kw = dict(id_col="doc_id", text_col="text", k=2, threshold=0.08, max_df=25)
+    base = sorted(
+        map(tuple, dd.jaccard_pairs(df, materialize_shingles=False, **kw).collect())
+    )
+    ck = sorted(
+        map(tuple, dd.jaccard_pairs(df, materialize_shingles=True, **kw).collect())
+    )
+    assert base == ck and len(base) > 0
