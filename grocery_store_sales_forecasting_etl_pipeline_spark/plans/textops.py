@@ -1024,6 +1024,15 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup verification by edit distance (candidate pairs → levenshtein)
 # ---------------------------------------------------------------------------
 
+# Verify-stage decision threshold: a pair counts as a near-dup when
+# similarity 1 - nld >= 0.6, i.e. lev <= (2/5) * max_len. Because
+# levenshtein(a, b) >= |len(a) - len(b)| ALWAYS, any pair with
+# |len_a - len_b| > (2/5) * max(len_a, len_b) provably fails the
+# threshold — filtering those out before the O(len^2) kernel is exact,
+# not a heuristic. Written cross-multiplied (5*|Δ| <= 2*max) so both
+# engines compare integers — no float/DECIMAL boundary to drift on.
+_NDV_BAND = (2, 5)  # (1 - θ) as an exact rational: numerator, denominator
+
 _NDV_ORACLE = f"""
 WITH pairs AS ({_JACCARD_ORACLE}
 )
@@ -1034,6 +1043,9 @@ SELECT p.id_1, p.id_2, p.jaccard,
 FROM pairs p
 JOIN documents a ON p.id_1 = a.doc_id
 JOIN documents b ON p.id_2 = b.doc_id
+WHERE abs(length(a.text) - length(b.text)) * {_NDV_BAND[1]}
+        <= greatest(length(a.text), length(b.text)) * {_NDV_BAND[0]}
+   OR a.text IS NULL OR b.text IS NULL
 """
 
 
@@ -1045,6 +1057,7 @@ def edit_distance_verify(
     text_col: str = "text",
     broadcast_max_pairs: int | None = 1_000_000,
     lev_threshold: int | None = None,
+    length_band: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Score candidate pairs ``(id_1, id_2, jaccard)`` with levenshtein +
     length-normalized edit distance against a document corpus, in ONE
@@ -1065,6 +1078,14 @@ def edit_distance_verify(
     come back as -1 (and nld as NULL is avoided by propagating -1).
     Unbounded (None) matches a plain-SQL oracle exactly; at 100 TB you
     set the cap to your dedup decision threshold.
+
+    ``length_band`` = (num, den) drops pairs whose length gap alone
+    proves they cannot reach similarity 1 - num/den: levenshtein is
+    bounded below by |len_a - len_b|, so ``den*|Δlen| > num*max_len``
+    implies nld > num/den — an EXACT prefilter, evaluated before the
+    O(len²) kernel (integer cross-multiplication, so no float-boundary
+    skew vs a SQL oracle). Pairs with a NULL text are kept so NULL still
+    propagates into lev/nld like the unfiltered path.
     """
     over = False
     if broadcast_max_pairs is not None:
@@ -1103,6 +1124,14 @@ def edit_distance_verify(
         F.max(F.when(F.col("side") == 1, F.lit(1))).alias("__pa"),
         F.max(F.when(F.col("side") == 2, F.lit(1))).alias("__pb"),
     ).filter(F.col("__pa").isNotNull() & F.col("__pb").isNotNull())
+    if length_band is not None:
+        num, den = length_band
+        la, lb = F.length("__ta"), F.length("__tb")
+        texts = texts.filter(
+            (F.abs(la - lb) * den <= F.greatest(la, lb) * num)
+            | F.col("__ta").isNull()
+            | F.col("__tb").isNull()
+        )
     # ^ presence (the side row matched a corpus doc_id) is tracked apart
     # from the text value: a pair referencing a doc_id ABSENT from the
     # corpus drops entirely (the oracle's double inner join semantics),
@@ -1139,13 +1168,17 @@ def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs at sf0.01 vs 125k doc pairs). The heavy lifting lives in
     :func:`edit_distance_verify`: ONE corpus scan, size-gated pair-side
     broadcast (auto-falls back to a shuffle join past 1M pairs), all
-    JVM-side codegen'd levenshtein. Unbounded edit distance here to
-    match the oracle exactly; the capped ``lev_threshold`` variant is
-    pytest-pinned equivalent below the cap.
+    JVM-side codegen'd levenshtein. Two exactness-preserving bounds on
+    the kernel: the ``_NDV_BAND`` length-difference prefilter (pairs
+    whose length gap alone proves similarity < 0.6 are dropped BEFORE
+    levenshtein — identical WHERE clause in the oracle, so parity is
+    exact), and surviving pairs still get the UNCAPPED edit distance;
+    the capped ``lev_threshold`` variant is pytest-pinned equivalent
+    below the cap.
     """
     pairs = doc_ngram_jaccard(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
-    return edit_distance_verify(pairs, d)
+    return edit_distance_verify(pairs, d, length_band=_NDV_BAND)
 
 
 # ---------------------------------------------------------------------------
