@@ -141,6 +141,14 @@ def jaccard_pairs(
     contribution at df ≤ max_df, i.e. O(vocab · max_df²) total, while
     true near-dups (which share many RARE shingles) keep their pairs.
     Recall at threshold is pinned by tests/test_dedup.py.
+
+    ``materialize_shingles=None`` auto-gates the shingle checkpoint on
+    the TOTAL on-disk size of ``df``'s leaf input files — correct when
+    ``df`` is a direct scan of the document source (every registered
+    caller). When ``df`` is derived (multi-table join, heavy upstream
+    filter), leaf-file size overestimates the corpus actually exploded
+    and can trigger a premature checkpoint: pass the decision explicitly
+    (True/False) instead of relying on the gate.
     """
     sh = _shingle_rows(df, id_col, text_col, k, block_cols)
     # join on a 64-bit shingle hash instead of the string: halves the

@@ -264,11 +264,17 @@ def _adjudication_history() -> tuple[dict[str, int], set[str]]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                # Unknown/degenerate harness row format: carries no
+                # evidence either way — preserve the query's prior
+                # red/green status AND its adjudication recency rather
+                # than silently demoting a possibly-failing query out of
+                # the priority re-adjudication tier (r9 ADVICE).
+                continue
             if rnd >= hist.get(name, 0):
                 hist[name] = rnd
-                # Only an explicit hash_match=False is red; a non-dict row
-                # (some future harness format) is unknown, not a mismatch.
-                ok = not isinstance(row, dict) or row.get("hash_match") is not False
+                # Only an explicit hash_match=False is red.
+                ok = row.get("hash_match") is not False
                 (red.discard if ok else red.add)(name)
     return hist, red
 

@@ -49,13 +49,17 @@ _SLOW_TESTS = {
     "test_inverted_index_short_docs_emit_no_null_gram",
     "test_jsonl_roundtrip",
     "test_1nn_accuracy_replay",
+    "test_energy_distance_replay",  # 13.8s pairwise-distance replay (r9 durations)
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        mod = item.module.__name__.rsplit(".", 1)[-1]
-        slow = mod in _SLOW_MODULES or item.originalname in _SLOW_TESTS
+        # non-Function items (doctests, custom collectors) lack
+        # originalname/module — fall back instead of breaking collection
+        mod = getattr(getattr(item, "module", None), "__name__", "").rsplit(".", 1)[-1]
+        name = getattr(item, "originalname", None) or item.name
+        slow = mod in _SLOW_MODULES or name in _SLOW_TESTS
         item.add_marker(pytest.mark.slow if slow else pytest.mark.fast)
 
 

@@ -33,19 +33,19 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
 )
 from tests.oracle_utils import compare
 
-# one query per pandas-representation class (duckdb DESCRIBE types in
-# comments); parity for the REST of the registry is the slow tier's
-# test_oracle_parity + tools/verify_contract.py
+# one query per pandas-representation class that has EVER diverged in a
+# driver round (duckdb DESCRIBE types in comments); parity for the rest
+# of the registry — including the never-diverged pure
+# VARCHAR/DATE/TIMESTAMP/BIGINT classes (date_funcs, keyed_dedup,
+# table_profile, weekly_lag_features held those seats until r10's fast
+# gate budget trim) — is the slow tier's test_oracle_parity +
+# tools/verify_contract.py
 REPRESENTATIVES = [
-    "pricing_summary",  # VARCHAR + DOUBLE aggregates
-    "weekly_lag_features",  # BIGINT keys + DOUBLE lags (flagship)
+    "pricing_summary",  # DOUBLE aggregates (r6 ULP-drift class) + VARCHAR
     "daily_revenue_cusum",  # DATE + HUGEINT (sum of BIGINT) + INTEGER flags
     "conformal_coverage_audit",  # HUGEINT quantile + BIGINT counts
     "embedding_participation_ratio",  # DECIMAL(38,0) exact trace
     "ship_delay_ks_test",  # internal Spark DecimalType (d_star pattern)
-    "date_funcs",  # DATE + calendar BIGINTs
-    "keyed_dedup",  # TIMESTAMP + VARCHAR + DOUBLE passthrough
-    "table_profile",  # stringified typed min/max (VARCHAR everywhere)
 ]
 
 
@@ -93,6 +93,32 @@ def test_representative_pandas_path_parity(spark, sf_oracle, name):
     compare(df, plans.wrapped_oracle(name), sf_oracle, name=name)
 
 
+@pytest.mark.parametrize("name", ["forecast_weekly_gbt", "forecast_per_group"])
+def test_rows_only_gbt_shape_pinned(spark, sf_smoke, name):
+    """The two rows-only queries (the driver checks shape only — no
+    oracle) must keep a frozen output contract: exact column names and
+    Spark types, one prediction row per feature row, no NULL
+    predictions. Pins the shipped shape against an MLlib version bump
+    silently changing it (VERDICT r9 task #5). Runs at sf0.001 so the
+    GBT train stays in the fast-gate budget."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational import (
+        weekly_lag_features,
+    )
+
+    out = plans.REGISTRY[name].build(spark, sf_smoke)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("suppkey", "bigint"),
+        ("year", "bigint"),
+        ("week", "bigint"),
+        ("actual_qty", "double"),
+        ("predicted_qty", "double"),
+    ]
+    n_features = weekly_lag_features(spark, sf_smoke).count()
+    rows = out.count()
+    assert rows == n_features > 0
+    assert out.filter("predicted_qty IS NULL").count() == 0
+
+
 def test_manifest_not_stale(sf_smoke):
     """The committed _decimal_boundary.json must equal what the generator
     computes against the CURRENT registry and testdata. Catches both
@@ -113,7 +139,7 @@ def test_manifest_not_stale(sf_smoke):
 
     con = duckdb_con(sf_smoke)
     try:
-        fresh, errors = build_manifest(con)
+        fresh, errors, decisions = build_manifest(con)
     finally:
         con.close()
     assert not errors, f"oracle DESCRIBE errors: {errors}"
@@ -122,4 +148,17 @@ def test_manifest_not_stale(sf_smoke):
         f"added={sorted(set(fresh) - set(DECIMAL_BOUNDARY))[:5]} "
         f"removed={sorted(set(DECIMAL_BOUNDARY) - set(fresh))[:5]} "
         f"changed={[k for k in fresh if DECIMAL_BOUNDARY.get(k) not in (None, fresh[k])][:5]}"
+    )
+
+    # completeness: EVERY registry name must carry an explicit boundary
+    # decision (quantized / clean / rows_only) — a future unfrozen query
+    # batch cannot ship columns the classifier never saw (VERDICT r9 #6)
+    from grocery_store_sales_forecasting_etl_pipeline_spark import plans as _plans
+
+    unclassified = set(_plans.REGISTRY) - set(decisions)
+    assert not unclassified, f"queries with no boundary decision: {sorted(unclassified)[:10]}"
+    rows_only = {n for n, d in decisions.items() if d == "rows_only"}
+    assert rows_only == {"forecast_per_group", "forecast_weekly_gbt"}, (
+        "rows-only (no-oracle) set drifted — every new query needs an oracle "
+        f"unless structurally impossible: {sorted(rows_only)}"
     )

@@ -44,23 +44,33 @@ WIDENED_PREFIXES = ("DECIMAL", "NUMERIC", "HUGEINT", "UBIGINT")
 
 def build_manifest(
     con: duckdb.DuckDBPyConnection,
-) -> tuple[dict[str, list[str]], dict[str, str]]:
+) -> tuple[dict[str, list[str]], dict[str, str], dict[str, str]]:
     """DESCRIBE every registered oracle against the given connection and
-    return (manifest, errors). Pure computation — shared by the CLI below
-    and the fast-tier staleness guard (tests/test_boundary_fast.py), so
-    the committed file can never silently diverge from what this logic
-    would produce against the CURRENT testdata and registry."""
+    return (manifest, errors, decisions). Pure computation — shared by
+    the CLI below and the fast-tier staleness guard
+    (tests/test_boundary_fast.py), so the committed file can never
+    silently diverge from what this logic would produce against the
+    CURRENT testdata and registry.
+
+    ``decisions`` classifies EVERY registry name, so a test can assert
+    REGISTRY ∖ decisions = ∅ (no query ever ships unclassified):
+    'quantized' (at-risk columns, in manifest), 'clean' (DESCRIBE'd, no
+    at-risk columns), 'rows_only' (no oracle — nothing to quantize), or
+    'error' (DESCRIBE failed; also in ``errors``)."""
     from grocery_store_sales_forecasting_etl_pipeline_spark import plans
 
     manifest: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
+    decisions: dict[str, str] = {}
     for name, q in sorted(plans.REGISTRY.items()):
         if q.oracle is None:
+            decisions[name] = "rows_only"
             continue
         try:
             desc = con.execute(f"DESCRIBE SELECT * FROM ({q.oracle}) _q").fetchall()
         except Exception as exc:  # noqa: BLE001 — report and keep going
             errors[name] = str(exc)[:200]
+            decisions[name] = "error"
             continue
         cols = [
             c
@@ -70,14 +80,15 @@ def build_manifest(
         ]
         if cols:
             manifest[name] = cols
-    return manifest, errors
+        decisions[name] = "quantized" if cols else "clean"
+    return manifest, errors, decisions
 
 
 def main() -> None:
     from oracle_utils import duckdb_con
 
     con: duckdb.DuckDBPyConnection = duckdb_con(SF_DIR)
-    manifest, errors = build_manifest(con)
+    manifest, errors, _decisions = build_manifest(con)
     con.close()
     if errors:
         # Refuse to write a partial manifest: an errored query would
