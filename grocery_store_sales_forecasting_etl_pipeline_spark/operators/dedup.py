@@ -28,6 +28,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.functions import text as T
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    input_bytes as _input_bytes,
+)
 
 
 def dedup_keyed(df: DataFrame, keys: Sequence[str], order_by: Sequence | None = None) -> DataFrame:
@@ -95,25 +98,8 @@ def _shingle_rows(
 _SHINGLE_MATERIALIZE_MIN_INPUT_BYTES = 32 * 1024 * 1024
 
 
-def _input_bytes(df: DataFrame) -> int | None:
-    """Total on-disk bytes of the frame's input files, via the JVM Hadoop
-    FileSystem (metadata-only, works for any configured scheme — local,
-    HDFS, object stores). None when unknowable (non-file source, FS
-    error) — callers fall back to their small-input default."""
-    try:
-        files = df.inputFiles()
-        if not files:
-            return None
-        jvm = df.sparkSession._jvm
-        hconf = df.sparkSession._jsc.hadoopConfiguration()
-        total = 0
-        for f in files:
-            path = jvm.org.apache.hadoop.fs.Path(f)
-            fs = path.getFileSystem(hconf)
-            total += fs.getFileStatus(path).getLen()
-        return total
-    except Exception:  # noqa: BLE001 — sizing is best-effort, never fail a build
-        return None
+# _input_bytes moved to operators/sizing.py (r10) — imported at top,
+# shared with other scale-adaptive gates (quantile_bracket_audit).
 
 
 def jaccard_pairs(

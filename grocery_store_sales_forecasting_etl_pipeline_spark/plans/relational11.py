@@ -19,6 +19,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import morton_sql, scale16_sql
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import input_bytes
+from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+    grouped_value_cum_counts,
+)
+
+# Crossover for quantile_bracket_audit's exact-side shape (A/B in its
+# docstring + BASELINE.md r10): the 3-task per-flag sort wins up to sf1
+# (106 MB lineitem), the (flag, cents) histogram wins 6x at sf10
+# (1.07 GB) — 512 MB sits between the measured points.
+_QUANTILE_HISTO_MIN_INPUT_BYTES = 512 * 1024 * 1024
 
 # ---------------------------------------------------------------------------
 # DOULION-sampled triangle census over the MinHash candidate graph
@@ -518,31 +528,104 @@ def quantile_bracket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     must land inside the p±1% exact bracket, 100x headroom, making the
     audit boolean deterministic rather than flaky.
 
-    Scale notes: the rank window is one shuffle per flag partition;
-    the sketch side is a mergeable aggregate with map-side partial
-    states (that's the path you'd keep at scale; the exact side here
-    is the audit oracle, same division of labor as the HLL query).
+    Scale notes (r10 rewrite): the exact side is rank SELECTION, not
+    ranking — it never needs a row_number over the fact frame. The
+    flag-partitioned shape (`row_number() OVER (PARTITION BY
+    l_returnflag ORDER BY cents)`) is only as parallel as the flag
+    cardinality: 3 flags = 3 tasks sort EVERYTHING, and a 10× scale-up
+    lands 10× rows on each single task. The scale shape folds the fact
+    rows to a (flag, cents) histogram (map-side combine), takes
+    per-flag cumulative counts via the bucketed two-pass scheme
+    (scalerank.grouped_value_cum_counts — parallel across value
+    buckets), and the 6 needed ranks select their values by
+    `cum - c <= r < cum` against an 18-row broadcast rank frame; its
+    sketch side is a second pruned 2-column scan + mergeable agg (no
+    sort). The shapes swap winners with scale because the histogram
+    only starts REDUCING once row count outgrows the bounded cents
+    domain — measured A/B (BASELINE.md r10): sort shape 1.6/6.4/61.2s
+    at sf0.1/sf1/sf10 vs histogram shape 4.4/11.2/10.2s — so the
+    builder gates on input size (sizing.input_bytes, threshold 512 MB
+    between the 106 MB sf1 sort win and the 1.07 GB sf10 histogram
+    6× win). Both shapes produce identical integers (same parity
+    contract, same oracle).
     """
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     v = li.select(F.col("l_returnflag"), cents.alias("cents"))
-    w = Window.partitionBy("l_returnflag").orderBy("cents")
-    r = v.select(
+
+    size = input_bytes(li)
+    if size is None or size < _QUANTILE_HISTO_MIN_INPUT_BYTES:
+        # small-input shape: per-flag sort is 3 comfortable in-memory
+        # tasks here and beats the histogram machinery (A/B above)
+        w = Window.partitionBy("l_returnflag").orderBy("cents")
+        r = v.select(
+            "l_returnflag",
+            "cents",
+            (F.row_number().over(w) - 1).alias("rn"),
+            F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+        )
+
+        def pick_rn(p: int):
+            return F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n - 1) * {p} DIV 100"), F.col("cents")
+                )
+            )
+
+        exact = r.groupBy("l_returnflag").agg(
+            F.max("n").cast("long").alias("n"),
+            pick_rn(50).alias("p50_cents"),
+            pick_rn(95).alias("p95_cents"),
+            pick_rn(49).alias("_p49"),
+            pick_rn(51).alias("_p51"),
+            pick_rn(94).alias("_p94"),
+            pick_rn(96).alias("_p96"),
+            F.percentile_approx("cents", [0.5, 0.95], 10000).alias("ap"),
+        )
+        return exact.select(
+            "l_returnflag",
+            "n",
+            "p50_cents",
+            "p95_cents",
+            (
+                F.element_at("ap", 1)
+                .cast("long")
+                .between(F.col("_p49"), F.col("_p51"))
+                & F.element_at("ap", 2)
+                .cast("long")
+                .between(F.col("_p94"), F.col("_p96"))
+            ).alias("approx_ok"),
+        )
+
+    # scale shape: value-grain cumulative counts, no fact-scale sort
+    cum = grouped_value_cum_counts(v, ["l_returnflag"], "cents", 65536)
+    nf = cum.groupBy("l_returnflag").agg(F.max("cum").cast("long").alias("n"))
+    pcts = (49, 50, 51, 94, 95, 96)
+    ranks = nf.select(
         "l_returnflag",
-        "cents",
-        (F.row_number().over(w) - 1).alias("rn"),
-        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"),
+                        F.expr(f"(n - 1) * {p} DIV 100").alias("r"),
+                    )
+                    for p in pcts
+                ]
+            )
+        ).alias("pr"),
+    ).select("l_returnflag", "n", "pr.p", "pr.r")
+    # the 0-based rank-r value is the one whose cumulative range covers
+    # r — identical to the ordered-multiset selection the oracle does
+    sel = cum.join(F.broadcast(ranks), "l_returnflag").filter(
+        (F.col("r") >= F.col("cum") - F.col("c")) & (F.col("r") < F.col("cum"))
     )
 
     def pick(p: int):
-        return F.max(
-            F.when(F.col("rn") == F.expr(f"(n - 1) * {p} DIV 100"), F.col("cents"))
-        )
+        return F.max(F.when(F.col("p") == p, F.col("cents")))
 
-    # ONE aggregation computes the exact picks AND the sketch: the
-    # window exchange already partitioned by flag, so no second scan
-    # and no join — the sketch state merges map-side like any agg
-    exact = r.groupBy("l_returnflag").agg(
+    exact = sel.groupBy("l_returnflag").agg(
         F.max("n").cast("long").alias("n"),
         pick(50).alias("p50_cents"),
         pick(95).alias("p95_cents"),
@@ -550,9 +633,12 @@ def quantile_bracket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(51).alias("_p51"),
         pick(94).alias("_p94"),
         pick(96).alias("_p96"),
-        F.percentile_approx("cents", [0.5, 0.95], 10000).alias("ap"),
     )
-    return exact.select(
+    # sketch side: mergeable GK agg straight off the pruned scan
+    sketch = v.groupBy("l_returnflag").agg(
+        F.percentile_approx("cents", [0.5, 0.95], 10000).alias("ap")
+    )
+    return exact.join(sketch, "l_returnflag").select(
         "l_returnflag",
         "n",
         "p50_cents",

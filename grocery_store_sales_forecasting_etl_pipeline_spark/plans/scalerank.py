@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 __all__ = [
     "counts_to_cum",
     "value_cum_counts",
+    "grouped_value_cum_counts",
     "bucketed_row_number",
     "ranked_points",
 ]
@@ -82,6 +83,53 @@ def value_cum_counts(
     """
     vc = df.groupBy(value_col).agg(F.count("*").cast("long").alias("c"))
     return counts_to_cum(vc, value_col, coarse_div).select(value_col, "c", "cum")
+
+
+def grouped_value_cum_counts(
+    df: DataFrame, group_cols: list[str], value_col: str, coarse_div: int
+) -> DataFrame:
+    """Per-group value-grain cumulative counts without per-group
+    fact-scale sorts — the grouped sibling of :func:`value_cum_counts`.
+
+    A ``Window.partitionBy(group).orderBy(value)`` row_number over a
+    fact frame is only as parallel as the GROUP cardinality: with 3
+    groups, 3 tasks sort everything, and a 10× scale-up lands 10× rows
+    on each (the quantile_bracket_audit sf1 pathology). Here the fact
+    rows fold to a (group, value) histogram first (map-side combine),
+    bucket offsets come from the bounded (group × bucket) frame, and the
+    within-bucket cumulative is partitioned by (group, bucket) —
+    parallel across buckets regardless of group cardinality.
+
+    Returns one row per (group, distinct value):
+    ``(*group_cols, value_col, c, cum)`` with ``c`` the row count at
+    that value and ``cum`` the count of group rows with value <= it.
+    """
+    vc = df.groupBy(*group_cols, value_col).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    src = vc.withColumn("_b", _bucket(value_col, coarse_div))
+    bc = src.groupBy(*group_cols, "_b").agg(F.sum("c").cast("long").alias("_bc"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = bc.select(
+        *group_cols,
+        "_b",
+        F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    w_in = (
+        Window.partitionBy(*group_cols, "_b")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        src.join(F.broadcast(off), [*group_cols, "_b"])
+        .withColumn("cum", (F.col("_off") + F.sum("c").over(w_in)).cast("long"))
+        .drop("_b", "_off")
+        .select(*group_cols, value_col, "c", "cum")
+    )
 
 
 def bucketed_row_number(

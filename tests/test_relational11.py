@@ -152,3 +152,60 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_oracle):
     sk_ghi = max(r.sk_hi for r in rows)
     assert all((r.pk_hi - r.pk_lo) < (pk_ghi - pk_glo) for r in rows)
     assert all((r.sk_hi - r.sk_lo) < (sk_ghi - sk_glo) for r in rows)
+
+
+def test_grouped_value_cum_counts_matches_window(spark):
+    """The bucketed two-pass grouped cumulative must equal the direct
+    per-group window cumulative on a frame with duplicate values, ties
+    across groups, negatives, and a value span crossing bucket edges."""
+    import random
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
+        grouped_value_cum_counts,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (g, rng.choice([-130, -7, 0, 3, 64, 65, 128, 900, 901]))
+        for g in ("a", "b", "c")
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.g, r.v): (r.c, r.cum)
+        for r in grouped_value_cum_counts(df, ["g"], "v", 64).collect()
+    }
+    # brute force per group
+    from collections import Counter
+
+    for g in ("a", "b", "c"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        cnt = Counter(vals)
+        cum = 0
+        for v in sorted(cnt):
+            cum += cnt[v]
+            assert got[(g, v)] == (cnt[v], cum), (g, v)
+    assert len(got) == sum(
+        1 for g in ("a", "b", "c") for _ in {v for gg, v in rows if gg == g}
+    )
+
+
+def test_quantile_bracket_audit_shapes_agree(spark, sf_oracle):
+    """The size gate swaps plan shapes, never answers: the per-flag
+    sort shape and the histogram rank-selection shape must return
+    identical rows at any scale (here sf0.01 forced both ways)."""
+    import grocery_store_sales_forecasting_etl_pipeline_spark.plans.relational11 as r11
+
+    saved = r11._QUANTILE_HISTO_MIN_INPUT_BYTES
+    try:
+        r11._QUANTILE_HISTO_MIN_INPUT_BYTES = 1 << 60
+        sort_rows = sorted(
+            map(tuple, r11.quantile_bracket_audit(spark, sf_oracle).collect())
+        )
+        r11._QUANTILE_HISTO_MIN_INPUT_BYTES = 0
+        histo_rows = sorted(
+            map(tuple, r11.quantile_bracket_audit(spark, sf_oracle).collect())
+        )
+    finally:
+        r11._QUANTILE_HISTO_MIN_INPUT_BYTES = saved
+    assert sort_rows == histo_rows and len(sort_rows) == 3
