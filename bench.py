@@ -90,7 +90,42 @@ def _timed_force(spark, build, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _load_indicator() -> dict:
+    """Machine-tenancy snapshot recorded with every bench table
+    (BASELINE.md r11 anchor protocol): cross-round totals have swung
+    ±29% with zero code cause, so every number needs the load context
+    it was measured under. loadavg is the box-wide signal; java_procs
+    counts OTHER JVMs (a concurrent Spark session inflates timings
+    3-20x — r5/r8 learnings)."""
+    ind: dict = {}
+    try:
+        la = os.getloadavg()
+        ind["loadavg"] = [round(x, 2) for x in la]
+    except OSError:
+        pass
+    try:
+        me = os.getpid()
+        n = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n += 1
+            except OSError:
+                continue
+        ind["java_procs"] = n
+    except OSError:
+        pass
+    return ind
+
+
 def main() -> None:
+    # BEFORE session creation: java_procs here counts pre-existing
+    # tenant JVMs (0 = quiet box); the end snapshot includes this
+    # bench's own JVM (+1 expected).
+    load_start = _load_indicator()
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
     names = HEADLINE or sorted(plans.REGISTRY)
@@ -169,6 +204,8 @@ def main() -> None:
         },
         "errors": errors,
         "wall_s": round(time.perf_counter() - t_start, 1),
+        "load_start": load_start,
+        "load_end": _load_indicator(),
     }
     LOCAL_OUT.write_text(json.dumps(full, indent=1) + "\n")
 
@@ -185,6 +222,10 @@ def main() -> None:
         "n_errors": len(errors),
         "protocol": f"top{N_RUNS}/rest1",
         "runs": {"top": N_RUNS, "rest": 1},
+        "load": {
+            "start": load_start,
+            "end": full["load_end"],
+        },
         "full_results": LOCAL_OUT.name,
     }
     print(json.dumps(summary))

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from grocery_store_sales_forecasting_etl_pipeline_spark.functions import text as T
 from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
     input_bytes as _input_bytes,
+    record_gate as _record_gate,
 )
 
 
@@ -167,6 +168,11 @@ def jaccard_pairs(
         size = _input_bytes(df)
         materialize_shingles = (
             size is not None and size >= _SHINGLE_MATERIALIZE_MIN_INPUT_BYTES
+        )
+        _record_gate(
+            "jaccard_pairs.shingle_checkpoint",
+            size,
+            "localCheckpoint" if materialize_shingles else "recompute",
         )
     if materialize_shingles:
         sh = sh.localCheckpoint(eager=False)
@@ -337,14 +343,12 @@ def simhash_candidate_pairs(
     )
 
 
-def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash per document (Charikar sign-aggregation over
-    per-token md5 bits), emitted as (id, simhash) with simhash as long.
-
-    Plan shape: explode tokens → explode 32 (bit, ±1) pairs (arrays built
-    by JVM ``transform``) → groupBy(id) summing per-bit signs via
-    conditional aggregation → reassemble the integer. One shuffle.
-    """
+def _simhash_sign_sums(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int
+) -> DataFrame:
+    """Shared Charikar stage: per-document per-bit sign sums s_0..s_{n-1}
+    over distinct-token md5 bits (bit b = bit (3 - b%4) of hex nibble
+    b//4, so n_bits <= 128). One hash-aggregate shuffle."""
     # Guarded widen (same rationale as _shingle_rows): only repartition when
     # the input is under-split; an already-wide 100 TB corpus must not pay a
     # full shuffle of raw text before tokenizing.
@@ -354,16 +358,64 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(T.tokens(text_col))).alias("tok")
     )
-    # nibble n of md5 hex → 4 bits; bit index b in 0..31
     bit_cols = []
-    for b in range(32):
+    for b in range(n_bits):
         nibble = F.conv(F.substring(F.md5("tok"), 1 + b // 4, 1), 16, 10).cast("int")
         bit = F.shiftright(nibble, 3 - (b % 4)).bitwiseAND(F.lit(1))
         bit_cols.append(F.sum(bit * 2 - 1).alias(f"s_{b}"))
-    sums = tok.groupBy(id_col).agg(*bit_cols)
+    return tok.groupBy(id_col).agg(*bit_cols)
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document (Charikar sign-aggregation over
+    per-token md5 bits), emitted as (id, simhash) with simhash as long.
+
+    Plan shape: explode tokens → explode 32 (bit, ±1) pairs (arrays built
+    by JVM ``transform``) → groupBy(id) summing per-bit signs via
+    conditional aggregation → reassemble the integer. One shuffle.
+    """
+    sums = _simhash_sign_sums(df, id_col, text_col, 32)
     out = F.lit(0).cast("long")
     for b in range(32):
         out = out + F.when(F.col(f"s_{b}") > 0, F.lit(2**(31 - b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col(id_col), out.alias("simhash"))
+
+
+_LONG_MIN = -(2**63)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document — the 100 TB replacement for
+    :func:`simhash32`'s fingerprint (VERDICT r10 #3 / BASELINE.md r10
+    decomposition).
+
+    Why width matters more than band count: banded-Hamming candidate
+    cost is Σ bucket² over a bucket space of 2^band_bits per band. A
+    32-bit hash with the radius-3 pigeonhole constraint (4 bands) is
+    stuck at 4×8-bit = FIXED 1024 buckets, so candidate fan-out grows
+    n²/1024 regardless of corpus size (measured sf1: 19.5M probed
+    candidates for 133 pairs). 64 bits buys 4×16-bit bands = 256k
+    buckets at the SAME radius-3 exactness — 256× less fan-out for an
+    extra 4 bytes of shuffle payload per doc.
+
+    Bit b (0 = most significant) comes from md5 hex nibble b//4, same
+    convention as simhash32 (the first 8 nibbles reproduce simhash32's
+    bit sources, extended to 16 nibbles). The top bit is packed two's
+    complement (+2^63 is not a long; a set bit 0 contributes LONG_MIN
+    and the remaining bits add non-negative weights), so the value
+    round-trips exactly through any signed-64 engine — band extraction
+    ``(h >> 16*i) & 65535`` and ``bit_count(xor)`` are representation-
+    independent under arithmetic shift + mask (verified vs DuckDB on
+    negative values).
+    """
+    sums = _simhash_sign_sums(df, id_col, text_col, 64)
+    out = F.when(
+        F.col("s_0") > 0, F.lit(_LONG_MIN).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    for b in range(1, 64):
+        out = out + F.when(F.col(f"s_{b}") > 0, F.lit(2**(63 - b)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return sums.select(F.col(id_col), out.alias("simhash"))

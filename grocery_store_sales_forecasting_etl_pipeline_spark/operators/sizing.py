@@ -17,11 +17,54 @@ heavy upstream filters) pass the decision explicitly instead.
 
 from __future__ import annotations
 
+import logging
 import os
+import sys
 
 from pyspark.sql import DataFrame
 
-__all__ = ["input_bytes"]
+__all__ = ["input_bytes", "record_gate", "LAST_DECISIONS"]
+
+# One stderr line per gated build (bytes seen + shape chosen) so a
+# mis-sized derived frame shows up in bench output as a visibly wrong
+# decision instead of as a silent slow path (VERDICT r10 #5). The
+# logger gets its own stderr handler (no propagation) so the line
+# appears regardless of the host app's root-logging config.
+class _DynamicStderrHandler(logging.StreamHandler):
+    """Resolve sys.stderr at EMIT time, not import time — so the gate
+    line lands on whatever stderr the host has live (bench subprocess
+    pipes, pytest capture) instead of a stream captured at import."""
+
+    def __init__(self) -> None:
+        super().__init__(sys.stderr)
+
+    @property
+    def stream(self):
+        return sys.stderr
+
+    @stream.setter
+    def stream(self, value):  # StreamHandler.__init__ assigns; ignore
+        pass
+
+
+_LOG = logging.getLogger("spark_graft.sizing")
+if not _LOG.handlers:
+    _h = _DynamicStderrHandler()
+    _h.setFormatter(logging.Formatter("%(name)s: %(message)s"))
+    _LOG.addHandler(_h)
+    _LOG.setLevel(logging.INFO)
+    _LOG.propagate = False
+
+# site -> (bytes_seen, shape_chosen): the latest decision per gated
+# site, queryable by tests and by a post-run bench audit.
+LAST_DECISIONS: dict[str, tuple[int | None, str]] = {}
+
+
+def record_gate(site: str, bytes_seen: int | None, shape: str) -> None:
+    """Expose a size-gate decision: remember it in ``LAST_DECISIONS``
+    and emit one stderr log line. Call once per gated build."""
+    LAST_DECISIONS[site] = (bytes_seen, shape)
+    _LOG.info("gate %s: input_bytes=%s -> shape=%s", site, bytes_seen, shape)
 
 
 def input_bytes(df: DataFrame) -> int | None:

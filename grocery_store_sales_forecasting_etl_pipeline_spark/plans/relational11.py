@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from grocery_store_sales_forecasting_etl_pipeline_spark.functions.layout import morton_sql, scale16_sql
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
-from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import input_bytes
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    input_bytes,
+    record_gate,
+)
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
     grouped_value_cum_counts,
 )
@@ -554,7 +557,11 @@ def quantile_bracket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = li.select(F.col("l_returnflag"), cents.alias("cents"))
 
     size = input_bytes(li)
-    if size is None or size < _QUANTILE_HISTO_MIN_INPUT_BYTES:
+    small = size is None or size < _QUANTILE_HISTO_MIN_INPUT_BYTES
+    record_gate(
+        "quantile_bracket_audit", size, "per_flag_sort" if small else "histogram"
+    )
+    if small:
         # small-input shape: per-flag sort is 3 comfortable in-memory
         # tasks here and beats the histogram machinery (A/B above)
         w = Window.partitionBy("l_returnflag").orderBy("cents")

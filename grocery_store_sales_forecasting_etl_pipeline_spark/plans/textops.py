@@ -419,6 +419,70 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_candidate_pairs(sim, "doc_id", "simhash")
 
 
+def _simhash64_sql() -> str:
+    """64-bit twin of :func:`_simhash_sql` (bit b ← nibble b//4 of the
+    token md5, 16 nibbles). The top bit packs two's complement: a set
+    bit 0 contributes LONG_MIN, the rest add non-negative weights —
+    bit-identical to operators/dedup.simhash64's packing."""
+    sums = []
+    for b in range(64):
+        pos = 1 + b // 4
+        shift = 3 - (b % 4)
+        sums.append(
+            f"sum(CASE WHEN (('0x' || substr(md5(tok), {pos}, 1))::INT >> {shift}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) AS s_{b}"
+        )
+    parts = ["(CASE WHEN s_0 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END)"]
+    parts += [
+        f"(CASE WHEN s_{b} > 0 THEN CAST({2 ** (63 - b)} AS BIGINT) ELSE 0 END)"
+        for b in range(1, 64)
+    ]
+    rebuild = " + ".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+bits AS (SELECT doc_id, {", ".join(sums)} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({rebuild} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _simhash64_candidates_sql() -> str:
+    return f"""
+WITH sim AS ({_simhash64_sql()}),
+bands AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (16 * band_idx)) & 65535 AS band_val
+  FROM sim, (SELECT unnest(range(4)) AS band_idx) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+         a.simhash AS h1, b.simhash AS h2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
+"""
+
+
+# NOT @register'ed: the adjudicated `simhash_candidates` stays frozen at
+# the 32-bit fingerprint through the r11/r12 ledger completion (VERDICT
+# r10 #3). This is the staged post-freeze replacement — the swap is a
+# one-line flip of the registration above to
+# (oracle=_simhash64_candidates_sql(), body=simhash64_candidates) plus a
+# manifest regen. Same pigeonhole-exact radius-3 semantics; 4×16-bit
+# bands = 256k buckets vs the 32-bit path's fixed 1024 (256× less
+# candidate fan-out — measured sf1 probe counts in BASELINE.md r11).
+def simhash64_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = dd.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return dd.simhash_candidate_pairs(
+        sim, "doc_id", "simhash", n_bands=4, band_bits=16, radius=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: near-dup pairs → connected components → survivors
 # ---------------------------------------------------------------------------
@@ -1164,15 +1228,18 @@ def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny surviving pair set rather than the corpus.
 
     Scale notes: levenshtein is O(len²) per pair, so it belongs exactly
-    here — AFTER banding/blocking has cut candidates to a sliver (44
+    here — AFTER banding/blocking has cut candidates to a sliver (36
     pairs at sf0.01 vs 125k doc pairs). The heavy lifting lives in
     :func:`edit_distance_verify`: ONE corpus scan, size-gated pair-side
     broadcast (auto-falls back to a shuffle join past 1M pairs), all
-    JVM-side codegen'd levenshtein. Two exactness-preserving bounds on
-    the kernel: the ``_NDV_BAND`` length-difference prefilter (pairs
-    whose length gap alone proves similarity < 0.6 are dropped BEFORE
-    levenshtein — identical WHERE clause in the oracle, so parity is
-    exact), and surviving pairs still get the UNCAPPED edit distance;
+    JVM-side codegen'd levenshtein. The ``_NDV_BAND`` length prefilter
+    CHANGES the reported pair multiset (44 → 36 pairs at sf0.01): it is
+    exact only w.r.t. a downstream similarity ≥ 0.6 near-dup DECISION —
+    no dropped pair could have passed that threshold (lev ≥ |Δlen|) —
+    but the raw (lev, nld) output keeps surviving pairs with nld > 0.4,
+    so the output is the banded pair set, not a threshold filter. The
+    oracle applies the identical integer WHERE clause, which is what
+    makes parity exact. Surviving pairs get the UNCAPPED edit distance;
     the capped ``lev_threshold`` variant is pytest-pinned equivalent
     below the cap.
     """

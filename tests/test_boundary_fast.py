@@ -150,15 +150,27 @@ def test_manifest_not_stale(sf_smoke):
         f"changed={[k for k in fresh if DECIMAL_BOUNDARY.get(k) not in (None, fresh[k])][:5]}"
     )
 
-    # completeness: EVERY registry name must carry an explicit boundary
-    # decision (quantized / clean / rows_only) — a future unfrozen query
-    # batch cannot ship columns the classifier never saw (VERDICT r9 #6)
+    # completeness: the decision map must PARTITION the registry exactly
+    # into the committed artifacts — quantized == the committed manifest,
+    # rows_only == the pinned no-oracle pair, everything else 'clean',
+    # and no other decision value exists. (A bare "REGISTRY ∖ decisions
+    # is empty" check is vacuous: build_manifest assigns a decision to
+    # every name on all code paths — r10 ADVICE.) This version trips if
+    # a future decision source adds a category, mislabels a manifest
+    # query, or grows the rows-only set without an oracle.
     from grocery_store_sales_forecasting_etl_pipeline_spark import plans as _plans
 
-    unclassified = set(_plans.REGISTRY) - set(decisions)
-    assert not unclassified, f"queries with no boundary decision: {sorted(unclassified)[:10]}"
-    rows_only = {n for n, d in decisions.items() if d == "rows_only"}
-    assert rows_only == {"forecast_per_group", "forecast_weekly_gbt"}, (
+    by_decision: dict[str, set[str]] = {}
+    for n, d in decisions.items():
+        by_decision.setdefault(d, set()).add(n)
+    assert set(by_decision) == {"quantized", "clean", "rows_only"}, (
+        f"unexpected boundary decision categories: {sorted(by_decision)}"
+    )
+    assert by_decision["quantized"] == set(DECIMAL_BOUNDARY)
+    assert by_decision["rows_only"] == {"forecast_per_group", "forecast_weekly_gbt"}, (
         "rows-only (no-oracle) set drifted — every new query needs an oracle "
-        f"unless structurally impossible: {sorted(rows_only)}"
+        f"unless structurally impossible: {sorted(by_decision['rows_only'])}"
+    )
+    assert by_decision["clean"] == (
+        set(_plans.REGISTRY) - set(DECIMAL_BOUNDARY) - by_decision["rows_only"]
     )

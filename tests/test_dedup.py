@@ -119,3 +119,96 @@ def test_shingle_materialization_gate_and_equivalence(spark, sf_oracle):
         map(tuple, dd.jaccard_pairs(df, materialize_shingles=True, **kw).collect())
     )
     assert base == ck and len(base) > 0
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash (staged post-freeze replacement — VERDICT r10 #3)
+# ---------------------------------------------------------------------------
+
+_U64 = 2**64
+
+
+def _signed(v: int) -> int:
+    """Python int (0..2^64) → signed-long two's complement value."""
+    v &= _U64 - 1
+    return v - _U64 if v >= 2**63 else v
+
+
+def _hamming64(a: int, b: int) -> int:
+    return ((a ^ b) & (_U64 - 1)).bit_count()
+
+
+def test_simhash64_radius3_completeness_adversarial(spark):
+    """Pigeonhole exactness of the 4×16-bit banding at radius 3 on
+    fingerprints CONSTRUCTED to stress it: flipped bits spread across
+    three different bands (only one band left agreeing), bits at band
+    boundaries (15/16, 47/48), the sign bit (bit 63 — two's complement
+    top), and hamming-4 pairs spread over all four bands (correctly
+    excluded). Ground truth is a brute-force all-pairs scan."""
+    import itertools
+
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    base = 0x1234_5678_9ABC_DEF0
+    base2 = 0xFEDC_BA98_7654_3210
+    fps = {
+        1: base,
+        2: base ^ (1 << 5) ^ (1 << 20) ^ (1 << 40),   # bands 0,1,2 → band 3 agrees
+        3: base ^ (1 << 17) ^ (1 << 33) ^ (1 << 63),  # bands 1,2,3 + sign bit → band 0 agrees
+        4: base ^ (1 << 0) ^ (1 << 1) ^ (1 << 2),     # all 3 flips in band 0
+        5: base ^ (1 << 15) ^ (1 << 16),              # band boundary 15/16, hamming 2
+        6: base ^ (1 << 47) ^ (1 << 48) ^ (1 << 63),  # boundary 47/48 + sign
+        7: base ^ (1 << 3) ^ (1 << 19) ^ (1 << 35) ^ (1 << 51),  # h=4, all 4 bands differ → OUT
+        8: base2,                                     # far from base (no pair)
+        9: base2 ^ (1 << 62) ^ (1 << 63),             # h=2 to base2, top band only
+        10: base,                                     # exact dup of 1 (h=0)
+    }
+    rows = [(i, _signed(v)) for i, v in fps.items()]
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in simhash_candidate_pairs(
+            sim, "doc_id", "simhash", n_bands=4, band_bits=16, radius=3
+        ).collect()
+    }
+    want = {
+        (i, j): _hamming64(fps[i], fps[j])
+        for i, j in itertools.combinations(sorted(fps), 2)
+        if _hamming64(fps[i], fps[j]) <= 3
+    }
+    assert got == want
+    # the adversarial exclusions actually exercised what they claim
+    assert (1, 7) not in got and _hamming64(fps[1], fps[7]) == 4
+    assert {(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 10), (8, 9)} <= set(want)
+
+
+def test_simhash64_top32_bits_match_simhash32(spark, sf_oracle):
+    """Bit-source convention pinned: simhash64's bits 63..32 (value
+    weights 2^63..2^32) come from the SAME md5 nibbles as simhash32's
+    bits 31..0, so the arithmetic-shifted top half must reproduce the
+    32-bit fingerprint exactly — the 64-bit variant strictly extends,
+    never re-derives, the adjudicated hash."""
+    docs = _docs(spark, sf_oracle).limit(200)
+    h32 = {r.doc_id: r.simhash for r in dd.simhash32(docs, "doc_id", "text").collect()}
+    h64 = {r.doc_id: r.simhash for r in dd.simhash64(docs, "doc_id", "text").collect()}
+    assert set(h32) == set(h64) and len(h32) == 200
+    for d, v in h64.items():
+        assert ((v >> 32) & 0xFFFFFFFF) == h32[d], d
+
+
+def test_simhash64_candidates_match_duckdb_oracle(spark, sf_oracle):
+    """Parity of the STAGED post-freeze surface (builder + oracle SQL
+    pair in plans/textops.py) so the one-line registry flip lands
+    pre-verified: Spark simhash64 → 4×16-band candidates vs the DuckDB
+    twin, pandas-path compare (driver-observable)."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans import textops as tx
+    from tests.oracle_utils import compare
+
+    df = tx.simhash64_candidates(spark, sf_oracle)
+    compare(df, tx._simhash64_candidates_sql(), sf_oracle, name="simhash64_candidates")
+    # and the fingerprint values themselves (sign bit included)
+    sim = dd.simhash64(_docs(spark, sf_oracle), "doc_id", "text")
+    compare(sim, tx._simhash64_sql(), sf_oracle, name="doc_simhash64")
+    assert sim.filter(F.col("simhash") < 0).count() > 0  # top bit exercised

@@ -37,17 +37,13 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 TESTS = REPO / "tests"
+sys.path.insert(0, str(REPO))
 
-# keep in sync with tests/conftest.py::_SLOW_MODULES — shipping a file
-# that is 100% slow-tier to a worker is harmless (0 selected), so this
-# list is an optimization, not a correctness input.
-_SLOW_MODULES = {
-    "test_oracle_parity", "test_plans", "test_streaming",
-    "test_stateful_streaming", "test_scd2_streaming", "test_maintenance",
-    "test_incremental_pipeline", "test_pipeline", "test_orchestrator",
-    "test_similarity", "test_dedup", "test_sketches", "test_graph",
-    "test_graph_properties",
-}
+# The single source of truth is tests/conftest.py; a private copy here
+# could drift in the dangerous direction (a module re-tiered fast in
+# conftest but still skipped by the gate's file pre-filter — silently
+# narrower selection than `pytest -m fast` while claiming parity).
+from tests.conftest import _SLOW_MODULES  # noqa: E402
 
 
 def shard_files(n: int) -> list[list[Path]]:
@@ -94,12 +90,17 @@ def main() -> int:
     for i, log, p in procs:
         code = p.wait()
         log.flush()
+        log.close()
         tail = Path(log.name).read_text().strip().splitlines()
         summary = tail[-1] if tail else "(no output)"
         print(f"shard {i}: exit {code} — {summary}", flush=True)
         if code not in (0, 5):  # 5 = no tests collected in this shard
             rc = 1
             print("\n".join(tail[-40:]), flush=True)
+            print(f"shard {i} full log kept: {log.name}", flush=True)
+        else:
+            # an every-commit gate must not leak one temp log per shard
+            Path(log.name).unlink(missing_ok=True)
     print(f"fast gate: {'PASS' if rc == 0 else 'FAIL'} in {time.time()-t0:.0f}s")
     return rc
 
