@@ -224,8 +224,42 @@ def minhash_signatures(
     )
 
 
+def _cap_band_buckets(
+    bands: DataFrame, bucket_cols: Sequence[str], max_bucket: int
+) -> DataFrame:
+    """Drop rows belonging to band buckets larger than ``max_bucket``
+    BEFORE a banded self-join — the standard LSH defense against
+    skew-degenerate buckets (a bucket of b members contributes b² join
+    work; template-heavy corpora concentrate fingerprints, measured
+    r11: 113.6M probed candidates at sf1 where a uniform corpus yields
+    ~19.5M). Capping is NOT silent: one log line states the cap per
+    build, and the recall contract changes explicitly — a pair is
+    emitted iff SOME band it agrees on has an in-cap bucket, so the
+    pigeonhole exactness of radius-banded search degrades only for
+    pairs ALL of whose agreeing bands are oversized (those are exactly
+    the boilerplate clusters a dedup pipeline handles by exact-dup
+    pre-collapse, not pairwise search)."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import _LOG
+
+    _LOG.info(
+        "gate banded_join.bucket_cap: max_bucket=%d on (%s)",
+        max_bucket,
+        ", ".join(bucket_cols),
+    )
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        bands.withColumn("__bsz", F.count("*").over(w))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature to a bucket, emit
     distinct candidate pairs sharing any band bucket.
@@ -234,6 +268,12 @@ def lsh_candidate_pairs(
     Bucket join is self-equi-join on (band_idx, band_hash), so cost is
     Σ bucket_size² — tune n_hashes/band_size for the similarity floor
     you care about (P(candidate) = 1-(1-j^band_size)^n_bands).
+
+    ``max_bucket`` (default None = exact, the registered behavior)
+    activates the skew cap: buckets above the cap are excluded from
+    the join (see :func:`_cap_band_buckets` for the recall contract).
+    At 100 TB this is what bounds worst-case Σ bucket² on a
+    boilerplate-heavy corpus to n·max_bucket.
     """
     n_bands = n_hashes // band_size
     bands = signatures.select(
@@ -255,6 +295,8 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
+    if max_bucket is not None:
+        bands = _cap_band_buckets(bands, ("band_idx", "band_hash"), max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -279,8 +321,9 @@ def simhash_candidate_pairs(
     n_bands: int = 4,
     band_bits: int = 8,
     radius: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs from 32-bit SimHash fingerprints: banded Hamming
+    """Near-dup pairs from SimHash fingerprints: banded Hamming
     blocking + exact radius verify, emitted as (id_1, id_2, hamming).
 
     Pigeonhole guarantee: two fingerprints within Hamming distance r
@@ -288,7 +331,10 @@ def simhash_candidate_pairs(
     r < n_bands, so joining on (band_idx, band_value) and then filtering
     ``bit_count(xor) <= radius`` loses no pair — this is exact
     radius-``radius`` search, not approximate (require
-    ``radius < n_bands``).
+    ``radius < n_bands``). ``max_bucket`` (default None = exact)
+    trades that guarantee for bounded worst-case join fan-out on
+    skew-degenerate corpora: see :func:`_cap_band_buckets` for the
+    explicit recall contract.
 
     Plan shape: map-only band explode (n_bands rows per doc), one
     self-equi-join shuffle on (band_idx, band_value), distinct, then a
@@ -317,6 +363,8 @@ def simhash_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, hash_col, "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        bands = _cap_band_buckets(bands, ("band_idx", "band_val"), max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     # hamming filter BEFORE the distinct: the filter is deterministic
     # per pair, so applying it to the raw join output shrinks the

@@ -1229,11 +1229,13 @@ def near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: levenshtein is O(len²) per pair, so it belongs exactly
     here — AFTER banding/blocking has cut candidates to a sliver (36
-    pairs at sf0.01 vs 125k doc pairs). The heavy lifting lives in
+    pairs at sf0.01 on the r10 corpus vs 125k doc pairs; absolute
+    counts move when the driver regenerates testdata). The heavy
+    lifting lives in
     :func:`edit_distance_verify`: ONE corpus scan, size-gated pair-side
     broadcast (auto-falls back to a shuffle join past 1M pairs), all
     JVM-side codegen'd levenshtein. The ``_NDV_BAND`` length prefilter
-    CHANGES the reported pair multiset (44 → 36 pairs at sf0.01): it is
+    CHANGES the reported pair multiset (44 → 36 at sf0.01, r10): it is
     exact only w.r.t. a downstream similarity ≥ 0.6 near-dup DECISION —
     no dropped pair could have passed that threshold (lev ≥ |Δlen|) —
     but the raw (lev, nld) output keeps surviving pairs with nld > 0.4,

@@ -212,3 +212,47 @@ def test_simhash64_candidates_match_duckdb_oracle(spark, sf_oracle):
     sim = dd.simhash64(_docs(spark, sf_oracle), "doc_id", "text")
     compare(sim, tx._simhash64_sql(), sf_oracle, name="doc_simhash64")
     assert sim.filter(F.col("simhash") < 0).count() > 0  # top bit exercised
+
+
+def test_banded_bucket_cap_recall_contract(spark):
+    """max_bucket drops ONLY pairs all of whose agreeing bands sit in
+    oversized buckets: a pair sharing one oversized band value + one
+    in-cap band value survives; a pair found solely through the
+    oversized bucket is excluded; default None stays exact."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    # band layout: 4 bands x 16 bits. band0 = bits 0..15, band1 = 16..31.
+    B0 = 0x00000000_0000AAAA          # shared band-0 value for the crowd
+    crowd = [(i, _signed(B0 | (i << 16))) for i in range(100, 120)]  # 20 docs,
+    # distinct bands 1-3 → they pair with each other ONLY via band 0
+    # pair (1,2): band0 shared with the crowd (oversized), band1 ALSO equal
+    # (small bucket), hamming 1 (bit 40 differs — band 2)
+    p1 = B0 | (0x7_0007 << 16)
+    p2 = p1 ^ (1 << 40)
+    rows = crowd + [(1, _signed(p1)), (2, _signed(p2))]
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    uncapped = {
+        (r.id_1, r.id_2)
+        for r in simhash_candidate_pairs(
+            sim, "doc_id", "simhash", n_bands=4, band_bits=16, radius=3
+        ).collect()
+    }
+    capped = {
+        (r.id_1, r.id_2)
+        for r in simhash_candidate_pairs(
+            sim, "doc_id", "simhash", n_bands=4, band_bits=16, radius=3, max_bucket=5
+        ).collect()
+    }
+    # (1,2) agree on band 0 (oversized: 22 members) AND band 1 (bucket of
+    # 2) — the in-cap band keeps them
+    assert (1, 2) in capped
+    # crowd pairs exist only through the oversized band-0 bucket...
+    crowd_pairs_capped = {p for p in capped if p[0] >= 100}
+    assert crowd_pairs_capped == set()
+    # ...but hamming<=3 crowd neighbors DO exist uncapped (adjacent ids
+    # differ in few band-1 bits), proving the cap did the dropping
+    assert any(p[0] >= 100 for p in uncapped)
+    assert capped <= uncapped
