@@ -256,3 +256,50 @@ def test_banded_bucket_cap_recall_contract(spark):
     # differ in few band-1 bits), proving the cap did the dropping
     assert any(p[0] >= 100 for p in uncapped)
     assert capped <= uncapped
+
+
+def test_collapse_expand_equals_direct_banded_search(spark, sf_oracle):
+    """collapse_exact_text → candidate search on DISTINCT texts →
+    expand_rep_pairs must reproduce the direct all-docs banded search
+    EXACTLY (pairs and payload): fingerprints are functions of the
+    text, so members inherit their rep's candidates and intra-group
+    pairs are hamming-0 by construction. Non-null texts only: NULL
+    text never fingerprints, so it has no direct-search pairs to
+    reproduce."""
+    docs = (
+        _docs(spark, sf_oracle)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    dup1 = docs.limit(60).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    dup2 = docs.limit(20).select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dup1).unionByName(dup2).localCheckpoint()
+
+    sim = dd.simhash64(corpus, "doc_id", "text")
+    direct = {
+        (r.id_1, r.id_2): r.hamming
+        for r in dd.simhash_candidate_pairs(
+            sim, "doc_id", "simhash", n_bands=4, band_bits=16
+        ).collect()
+    }
+
+    reps, members = dd.collapse_exact_text(corpus, "doc_id", "text")
+    n_docs, n_reps = corpus.count(), reps.count()
+    assert n_docs - n_reps >= 80  # the planted duplicates collapsed
+    sim_r = dd.simhash64(reps, "doc_id", "text")
+    rep_pairs = dd.simhash_candidate_pairs(
+        sim_r, "doc_id", "simhash", n_bands=4, band_bits=16
+    )
+    expanded = {
+        (r.id_1, r.id_2): r.hamming
+        for r in dd.expand_rep_pairs(
+            rep_pairs, members, intra={"hamming": 0}
+        ).collect()
+    }
+    assert expanded == direct
+    # the planted duplicates are found as hamming-0 intra pairs
+    base_ids = {r.doc_id for r in docs.limit(20).collect()}
+    for i in sorted(base_ids)[:5]:
+        assert direct.get((i, i + 1_000_000)) == 0
+        assert direct.get((i, i + 2_000_000)) == 0
