@@ -133,6 +133,9 @@ def expand_rep_pairs(
         )
     )
     if intra is not None:
+        missing = [c for c in payload if c not in intra]
+        if missing:
+            raise ValueError(f"intra payload missing columns: {missing}")
         ga = members.select(F.col("rep_id"), F.col(id_col).alias("__a"))
         gb = members.select(F.col("rep_id"), F.col(id_col).alias("__b"))
         intra_pairs = (
@@ -144,9 +147,6 @@ def expand_rep_pairs(
                 *[F.lit(v).alias(k) for k, v in intra.items()],
             )
         )
-        missing = [c for c in payload if c not in (intra or {})]
-        if missing:
-            raise ValueError(f"intra payload missing columns: {missing}")
         out = out.unionByName(intra_pairs.select("id_1", "id_2", *payload))
     return out
 

@@ -303,3 +303,32 @@ def test_collapse_expand_equals_direct_banded_search(spark, sf_oracle):
     for i in sorted(base_ids)[:5]:
         assert direct.get((i, i + 1_000_000)) == 0
         assert direct.get((i, i + 2_000_000)) == 0
+
+
+def test_expand_rep_pairs_payloadless_and_missing_payload(spark):
+    """Payload-less expansion (the MinHash-candidate shape: bare id
+    pairs, intra={}) emits cross- and intra-group pairs with no payload
+    columns; an intra dict that misses a payload column raises before
+    any job runs."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], ["doc_id", "text"]
+    )
+    reps, members = dd.collapse_exact_text(docs, "doc_id", "text")
+    # rep-level candidate pair between the "a" group (rep 1) and doc 3
+    pairs = spark.createDataFrame([(1, 3)], ["id_1", "id_2"])
+    out = {
+        (r.id_1, r.id_2)
+        for r in dd.expand_rep_pairs(pairs, members, intra={}).collect()
+    }
+    # cross pairs expand to both members of group "a"; intra adds (1,2)
+    assert out == {(1, 3), (2, 3), (1, 2)}
+    rep_only = {
+        (r.id_1, r.id_2)
+        for r in dd.expand_rep_pairs(pairs, members, intra=None).collect()
+    }
+    assert rep_only == {(1, 3), (2, 3)}
+    with_payload = spark.createDataFrame([(1, 3, 2)], ["id_1", "id_2", "hamming"])
+    with pytest.raises(ValueError, match="hamming"):
+        dd.expand_rep_pairs(with_payload, members, intra={})
