@@ -332,3 +332,38 @@ def test_expand_rep_pairs_payloadless_and_missing_payload(spark):
     with_payload = spark.createDataFrame([(1, 3, 2)], ["id_1", "id_2", "hamming"])
     with pytest.raises(ValueError, match="hamming"):
         dd.expand_rep_pairs(with_payload, members, intra={})
+
+
+def test_lsh_candidate_pairs_bucket_cap(spark):
+    """The max_bucket cap plumbs through the MinHash banded join the
+    same way as the SimHash one: a signature crowd sharing one band
+    bucket loses its crowd-only pairs at cap, while pairs agreeing on a
+    small bucket survive; default None stays exact."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    # 8 minhashes -> 4 bands of 2. The crowd shares band 0 (mh_0, mh_1)
+    # but is distinct elsewhere; docs 1 and 2 share band 0 AND band 1.
+    def sig(i, mh0, mh1, mh2, mh3):
+        return (i, mh0, mh1, mh2, mh3, f"u{i}", f"v{i}", f"w{i}", f"x{i}")
+
+    rows = [sig(i, "a", "b", f"c{i}", f"d{i}") for i in range(100, 120)]
+    rows += [sig(1, "a", "b", "SAME", "SAME"), sig(2, "a", "b", "SAME", "SAME")]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, mh_0 string, mh_1 string, mh_2 string, mh_3 string,"
+        " mh_4 string, mh_5 string, mh_6 string, mh_7 string"
+    )
+    uncapped = {
+        (r.id_1, r.id_2)
+        for r in lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2).collect()
+    }
+    capped = {
+        (r.id_1, r.id_2)
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes=8, band_size=2, max_bucket=5
+        ).collect()
+    }
+    assert (1, 2) in uncapped and (1, 2) in capped  # band-1 bucket is small
+    assert (100, 101) in uncapped and (100, 101) not in capped  # crowd-only
+    assert capped < uncapped
