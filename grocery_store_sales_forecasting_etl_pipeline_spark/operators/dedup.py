@@ -83,7 +83,16 @@ def collapse_exact_text(
     so every member inherits its rep's candidates, and intra-group
     pairs are known without search). One window shuffle, no join;
     grouping is on the raw text value, not a hash — exact by
-    construction, no collision caveat."""
+    construction, no collision caveat.
+
+    Measured applicability contract (BASELINE.md r11 two-regime A/B):
+    collapse is NOT default-on. It wins ~3× when duplicate mass sits in
+    LARGE clusters (10×3,000-copy boilerplate at sf1 scale: the direct
+    path pays 4·b² banded probes + a distinct per cluster vs one b²
+    intra emit here) and LOSES ~1.5× when duplicates are scattered
+    pairs (b ≤ 3: the window shuffle + expansion joins outweigh the b²
+    savings). Decide per corpus from the exact-dup group-size histogram
+    (the first stage of :func:`exact_text_groups` computes it)."""
     w = Window.partitionBy(text_col)
     m = (
         df.select(F.col(id_col), F.col(text_col))
