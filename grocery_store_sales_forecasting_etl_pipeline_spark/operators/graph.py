@@ -20,8 +20,10 @@ without ever materializing the hub's neighborhood in one task.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -66,6 +68,62 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.union(center)
 
 
+# Edge-count ceiling for the window-based star rounds (below). A window
+# partition holds one node's full symmetrized neighborhood in a single
+# task, so the gate bounds worst-case task state: at the 4M default even
+# a graph-spanning hub is ~4M (u, v, m) longs ≈ 100 MB in one task —
+# safe; beyond it the hub-parallel join shape takes over. Overridable
+# for tests/production sizing (0 forces the join path everywhere).
+_CC_WINDOW_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_CC_WINDOW_MAX_EDGES", "4000000"))
+
+
+def _large_star_window(edges: DataFrame) -> DataFrame:
+    """``_large_star`` computed with a single partition-window pass
+    (one shuffle) instead of groupBy-min + join back (two shuffles +
+    a join). Identical output by construction: m = least(u, min(v))
+    over the same symmetrized neighborhood."""
+    nbr = _symmetrize(edges)
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    return (
+        nbr.select("u", "v", m.alias("m"))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star_window(edges: DataFrame) -> DataFrame:
+    """``_small_star`` as one partition-window pass. Emits (v, m) and
+    (u, m) per oriented edge via a 2-struct explode — the center row
+    (u, m) repeats per neighbor, but the caller's ``_canonical``
+    distinct collapses it, and the single-pass shape avoids both the
+    groupBy+join and a two-branch union that would re-run the window
+    per consumer. Identical post-distinct output to ``_small_star``."""
+    nbr = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    aug = nbr.select(
+        "u", "v", F.min("v").over(Window.partitionBy("u")).alias("m")
+    )
+    pairs = aug.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+            )
+        ).alias("e")
+    )
+    return pairs.select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+
+
+def _star_round(edges: DataFrame, n_edges: int) -> DataFrame:
+    """One large-star → small-star round, shape picked by edge count
+    (known for free from the previous fixpoint fingerprint): window
+    stars (2 shuffles/round, no joins) while the edge set is small
+    enough that a single node's neighborhood is a safe task, join
+    stars (hub-parallel, never materializes a neighborhood) above."""
+    if n_edges <= _CC_WINDOW_MAX_EDGES:
+        return _small_star_window(_large_star_window(edges))
+    return _small_star(_large_star(edges))
+
+
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     """(row count, order-insensitive checksum) of a canonical edge set —
     the driver-side fixpoint test. Two actions over an already-small
@@ -102,7 +160,7 @@ def connected_components(
     prev = _fingerprint(edges)
     converged = False
     for _ in range(max_iter):
-        edges = _canonical(_small_star(_large_star(edges))).localCheckpoint(eager=False)
+        edges = _canonical(_star_round(edges, prev[0])).localCheckpoint(eager=False)
         cur = _fingerprint(edges)
         if cur == prev:
             converged = True

@@ -54,3 +54,45 @@ def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(1, 2)], ["id_1", "id_2"])
     with pytest.raises(RuntimeError):
         G.connected_components(df, max_iter=0)
+
+
+# window-star vs join-star equivalence (r11 optimization): the gated
+# window shape must produce the identical per-round canonical edge set
+# and the identical final labeling on shapes that stress each rule —
+# chains (large-star), hubs (small-star + the window's worst-case
+# partition), cycles, duplicates/reversals, and multiple components.
+_STAR_FIXTURES = [
+    [(i, i + 1) for i in range(1, 40)],                      # chain
+    [(1, k) for k in range(2, 30)],                          # hub at min
+    [(50, k) for k in range(2, 30)],                         # hub at max
+    [(10, 11), (11, 12), (10, 13), (50, 60), (60, 55), (55, 70), (70, 50)],
+    [(2, 1), (1, 2), (2, 3), (3, 2), (3, 3)],                # dups/reversed
+]
+
+
+def test_window_star_rounds_match_join_star_rounds(spark):
+    for edges in _STAR_FIXTURES:
+        df = spark.createDataFrame(edges, ["u", "v"])
+        e = G._canonical(df)
+        join_round = sorted(
+            map(tuple, G._canonical(G._small_star(G._large_star(e))).collect())
+        )
+        win_round = sorted(
+            map(
+                tuple,
+                G._canonical(
+                    G._small_star_window(G._large_star_window(e))
+                ).collect(),
+            )
+        )
+        assert join_round == win_round
+
+
+def test_cc_gate_paths_identical(spark, monkeypatch):
+    for edges in _STAR_FIXTURES:
+        df = spark.createDataFrame(edges, ["id_1", "id_2"])
+        monkeypatch.setattr(G, "_CC_WINDOW_MAX_EDGES", 0)  # force join path
+        via_join = sorted(map(tuple, G.connected_components(df).collect()))
+        monkeypatch.setattr(G, "_CC_WINDOW_MAX_EDGES", 10**9)  # force window path
+        via_window = sorted(map(tuple, G.connected_components(df).collect()))
+        assert via_join == via_window
