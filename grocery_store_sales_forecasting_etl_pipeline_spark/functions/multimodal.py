@@ -50,6 +50,21 @@ _MAGIC = (
 MEDIA_META_COLS = ("media_len", "media_md5", "media_mime")
 
 
+def _pruned_output(
+    fields: list[StructField], drop_cols: tuple[str, ...] | list[str]
+) -> StructType:
+    """Output schema for a mapInPandas featurizer minus ``drop_cols``.
+
+    Why this exists (r11, guide §4.1): Catalyst cannot column-prune
+    THROUGH an opaque Python function — every column in the declared
+    output schema is serialized Python→JVM for every batch, so a
+    featurizer that re-emits its input blob ships the heavy bytes back
+    across Arrow just for the next Project to drop them. Callers that
+    only keep scalars pass the blob columns here and the bytes cross
+    the boundary exactly once (inbound)."""
+    return StructType([f for f in fields if f.name not in set(drop_cols)])
+
+
 def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Blob ingestion: (path, modificationTime, length, content)."""
     reader = spark.read.format("binaryFile")
@@ -220,6 +235,7 @@ def resize_images(
     strict: bool = False,
     decoder: Callable[[bytes], tuple[int, int, int]] | None = None,
     resizer: Callable[[bytes, int, int], bytes] | None = None,
+    drop_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Image resize via ``mapInPandas``: decode dims, fit the longest
     side to ``max_side`` (aspect preserved, never upscale, floor to
@@ -250,7 +266,7 @@ def resize_images(
             "pairs incompatible codecs"
         )
 
-    out_schema = StructType(
+    out_schema = _pruned_output(
         list(df.schema.fields)
         + DECODED_SCHEMA_FIELDS
         + [
@@ -259,8 +275,10 @@ def resize_images(
             StructField("resized", BinaryType()),
             StructField("resized_len", LongType()),
             StructField("resized_byte_sum", LongType()),
-        ]
+        ],
+        drop_cols,
     )
+    keep = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dec, rsz = decoder, resizer
@@ -292,23 +310,30 @@ def resize_images(
                  "resized", "resized_len", "resized_byte_sum"]
             ):
                 pdf[c] = [r[i] for r in rows]
-            yield pdf
+            yield pdf[keep]
 
     return df.mapInPandas(run, schema=out_schema)
 
 
 def byte_histogram_features(
-    df: DataFrame, content_col: str = "content", n_bins: int = 64
+    df: DataFrame,
+    content_col: str = "content",
+    n_bins: int = 64,
+    drop_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """L1-normalized byte-value histogram feature vector per blob — a
     real, deterministic featurizer (numpy bincount in Arrow batches),
-    the plumbing template for embedding extractors."""
+    the plumbing template for embedding extractors. ``drop_cols``
+    excludes input columns (typically the blob itself) from the RETURN
+    batches — see ``_pruned_output``."""
     import numpy as np
     import pandas as pd
 
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField("features", ArrayType(FloatType()))]
+    out_schema = _pruned_output(
+        list(df.schema.fields) + [StructField("features", ArrayType(FloatType()))],
+        drop_cols,
     )
+    keep = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -322,7 +347,7 @@ def byte_histogram_features(
                 feats.append((hist / total).astype("float32").tolist())
             pdf = pdf.copy()
             pdf["features"] = feats
-            yield pdf
+            yield pdf[keep]
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -77,7 +77,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_media_from_text(docs)
-    out = mm.byte_histogram_features(media)
+    # drop_cols: the blob crosses to Python once and never returns —
+    # Catalyst cannot prune through mapInPandas (r11, guide §4.1)
+    out = mm.byte_histogram_features(media, drop_cols=("content",))
     return out.select(
         "doc_id",
         F.size("features").cast("long").alias("n_features"),
@@ -207,6 +209,9 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_side=_RESIZE_MAX_SIDE,
         decoder=mm.deterministic_decode,
         resizer=mm.deterministic_resize,
+        # neither blob survives the select below: keep the source AND the
+        # resized bytes from re-crossing the Arrow boundary (r11, §4.1)
+        drop_cols=("content", "resized"),
     )
     return out.select(
         "doc_id",

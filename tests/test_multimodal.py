@@ -204,3 +204,32 @@ def test_resize_images_rejects_half_injected_codec(spark, blob_dir):
         mm.resize_images(df, decoder=lambda b: (1, 1, 1))
     with pytest.raises(ValueError, match="BOTH decoder= and resizer="):
         mm.resize_images(df, resizer=lambda b, w, h: b)
+
+
+def test_drop_cols_prunes_return_batches(spark, blob_dir):
+    """drop_cols excludes heavy columns from the Python->JVM return
+    batches (Catalyst cannot prune through mapInPandas) while every
+    kept column is value-identical to the unpruned build."""
+    df = mm.read_binary_dir(spark, blob_dir).select("path", "content")
+
+    full = mm.byte_histogram_features(df)
+    pruned = mm.byte_histogram_features(df, drop_cols=("content",))
+    assert set(pruned.columns) == {"path", "features"}
+    a = {r["path"]: r["features"] for r in full.select("path", "features").collect()}
+    b = {r["path"]: r["features"] for r in pruned.collect()}
+    assert a == b
+
+    rz_full = mm.resize_images(
+        df, decoder=mm.deterministic_decode, resizer=mm.deterministic_resize
+    )
+    rz = mm.resize_images(
+        df,
+        decoder=mm.deterministic_decode,
+        resizer=mm.deterministic_resize,
+        drop_cols=("content", "resized"),
+    )
+    assert "content" not in rz.columns and "resized" not in rz.columns
+    keep = [c for c in rz.columns]
+    a = sorted(map(tuple, rz_full.select(*keep).collect()))
+    b = sorted(map(tuple, rz.collect()))
+    assert a == b
