@@ -174,3 +174,54 @@ def test_manifest_not_stale(sf_smoke):
     assert by_decision["clean"] == (
         set(_plans.REGISTRY) - set(DECIMAL_BOUNDARY) - by_decision["rows_only"]
     )
+
+
+def test_selectexpr_boundary_matches_column_boundary(spark):
+    """The memoized selectExpr rendering of the boundary (r11,
+    registry._boundary_exprs) must be BIT-IDENTICAL to the Column-built
+    projection on the same adversarial values — the SQL string and the
+    Column tree are two spellings of one expression."""
+    from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import (
+        _apply_boundary_decision,
+        _boundary_decision,
+        _boundary_exprs,
+    )
+
+    vals = [
+        0.0, -0.0, 1e-7, -1e-7, 1.5e-6, 0.1234565, 5.000001,
+        1443283136200801.5, 9.2e17, 1.1e18, float("nan"), float("inf"),
+        -float("inf"), 1e9 - 0.5, 1e9 + 0.3, 123.4999995, -0.9999995,
+        2.0**53, -(2.0**53), None,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    decision = _boundary_decision(df, ["x"])
+    via_column = _apply_boundary_decision(df, decision).toPandas().sort_values("i")
+    via_sql = df.selectExpr(*_boundary_exprs(decision)).toPandas().sort_values("i")
+    for i, (a, b) in enumerate(zip(via_column["x"].tolist(), via_sql["x"].tolist())):
+        a_null = a is None or (isinstance(a, float) and math.isnan(a))
+        b_null = b is None or (isinstance(b, float) and math.isnan(b))
+        if a_null and b_null:
+            continue
+        assert a_null == b_null and struct.pack("<d", a) == struct.pack("<d", b), (
+            i, vals[i], a, b,
+        )
+
+
+def test_boundary_memo_path_matches_unmemoized(spark, sf_oracle, monkeypatch):
+    """wrapped_build's memoized fast path must produce the identical
+    result frame as the SPARK_GRAFT_NO_BOUNDARY_MEMO direct path, on a
+    plain aggregate query and on a GlobalLimit query (the coalesce(1)
+    decision branch)."""
+    for name in ("pricing_summary", "topk_orders"):
+        monkeypatch.delenv("SPARK_GRAFT_NO_BOUNDARY_MEMO", raising=False)
+        memoized = plans.wrapped_build(name)(spark, sf_oracle)
+        # build twice so the second build exercises the memo-HIT path
+        memoized = plans.wrapped_build(name)(spark, sf_oracle)
+        monkeypatch.setenv("SPARK_GRAFT_NO_BOUNDARY_MEMO", "1")
+        direct = plans.wrapped_build(name)(spark, sf_oracle)
+        a = sorted(map(tuple, memoized.collect()))
+        b = sorted(map(tuple, direct.collect()))
+        assert memoized.columns == direct.columns
+        assert a == b, name
