@@ -96,12 +96,25 @@ def _load_indicator() -> dict:
     ±29% with zero code cause, so every number needs the load context
     it was measured under. loadavg is the box-wide signal; java_procs
     counts OTHER JVMs (a concurrent Spark session inflates timings
-    3-20x — r5/r8 learnings)."""
+    3-20x — r5/r8 learnings); steal_s/user_s are the box-wide
+    cumulative /proc/stat counters in seconds — the r11 judge's ask:
+    the start→end STEAL DELTA is the direct hypervisor-preemption
+    measure (r11's contaminated 32-core run had cumulative steal
+    exceeding user time), so per-round deltas can be load-adjudicated
+    instead of argued from loadavg alone."""
     ind: dict = {}
     try:
         la = os.getloadavg()
         ind["loadavg"] = [round(x, 2) for x in la]
     except OSError:
+        pass
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()  # "cpu  user nice sys idle iowait irq softirq steal ..."
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        ind["user_s"] = round(int(parts[1]) / hz, 1)
+        ind["steal_s"] = round(int(parts[8]) / hz, 1)
+    except (OSError, IndexError, ValueError):
         pass
     try:
         me = os.getpid()
@@ -225,6 +238,13 @@ def main() -> None:
         "load": {
             "start": load_start,
             "end": full["load_end"],
+            # box-wide CPU stolen by the hypervisor DURING this bench:
+            # the load-adjudication number for cross-round deltas
+            "steal_delta_s": round(
+                full["load_end"].get("steal_s", 0.0)
+                - load_start.get("steal_s", 0.0),
+                1,
+            ),
         },
         "full_results": LOCAL_OUT.name,
     }

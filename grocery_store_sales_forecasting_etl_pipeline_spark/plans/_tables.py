@@ -50,6 +50,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = _load(spark, sf_dir, name)
         per_session[key] = df
+    elif name == "events":
+        # r11 ADVICE: a cache hit used to skip events()'s session-conf
+        # pins, so a test probe (or any code) unsetting nanosAsLong or
+        # the UTC session TZ mid-session would make later actions on
+        # the cached nanos-generation frame replan under the changed
+        # conf. Re-pin on every hit — two cheap py4j conf sets, no jobs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return df
 
 

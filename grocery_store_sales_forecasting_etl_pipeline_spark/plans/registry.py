@@ -225,7 +225,9 @@ def _boundary_exprs(
     exprs = []
     for name in col_order:
         if name in todo:
-            q = f"`{name}`"
+            # escape embedded backticks per Spark's quoteIdentifier rule
+            # (r11 ADVICE; hypothetical for current DuckDB-derived names)
+            q = "`" + name.replace("`", "``") + "`"
             d = f"CAST({q} AS DOUBLE)"
             exprs.append(
                 f"CASE WHEN (({q} IS NULL) OR isnan({d}) OR (abs({d}) >= {_NULL_ABS!r}D)) "
@@ -235,7 +237,7 @@ def _boundary_exprs(
                 f"ELSE CAST((round({d}, {_BOUNDARY_SCALE}) + 0.0D) AS DOUBLE) END AS {q}"
             )
         else:
-            exprs.append(f"`{name}`")
+            exprs.append("`" + name.replace("`", "``") + "`")
     return tuple(exprs)
 
 
@@ -370,8 +372,14 @@ def _rotation_order() -> list[str]:
 # build, while deriving them forces an extra full analysis pass of the
 # raw plan (15-1600 ms of driver time per build, measured r11; 298
 # manifest queries x warm-up+timed builds per bench run). A stale memo
-# cannot mis-quantize silently: the projection is built from unresolved
-# column refs and fails analysis if the schema ever diverged. Disable
+# cannot mis-quantize silently when columns are RENAMED or DROPPED: the
+# projection is built from unresolved column refs and fails analysis.
+# Known caveat (r11 ADVICE): a column whose DTYPE changed numeric->non-
+# numeric under the same name (files rewritten under the same sf_dir
+# mid-session — no registered flow does this) would still be CAST and
+# quantized by the memoized expression instead of skipped; keying on a
+# schema fingerprint would force the extra analysis pass this memo
+# exists to avoid, so the caveat is documented, not keyed. Disable
 # with SPARK_GRAFT_NO_BOUNDARY_MEMO=1.
 _BOUNDARY_DECISION_MEMO: dict[tuple[str, str], tuple[tuple[str, ...], bool]] = {}
 

@@ -26,6 +26,9 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
     grouped_value_cum_counts,
 )
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # Crossover for quantile_bracket_audit's exact-side shape (A/B in its
 # docstring + BASELINE.md r10): the 3-task per-flag sort wins up to sf1
@@ -451,7 +454,7 @@ def brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 300-row answer; this one is 2.0s -> ~0.5s). Baskets are bounded
     # by items-per-order, so the generated array is tiny at any scale.
     baskets = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(_gbcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
         .localCheckpoint(eager=False)

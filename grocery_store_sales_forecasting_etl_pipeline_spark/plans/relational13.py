@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Data-quality violation summary
@@ -116,7 +119,7 @@ def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n AS n_checked",
     ).select("rule", "n_checked", "n_violations")
     extra = (
-        base.crossJoin(F.broadcast(dups))
+        base.crossJoin(_gbcast(dups))
         .crossJoin(F.broadcast(orphans))
         .selectExpr(
             "stack(2, 'pk_duplicates', extra, 'fk_orphans', n_orphan) "

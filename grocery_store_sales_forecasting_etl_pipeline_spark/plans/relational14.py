@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Pivot: order-year x priority revenue matrix
@@ -287,7 +290,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .join(
-            F.broadcast(
+            _gbcast(
                 c.select(
                     F.col("c_custkey").alias("custkey"),
                     F.col("c_mktsegment").alias("segment"),
@@ -508,7 +511,7 @@ def nation_customer_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     ord_ = o.join(
-        F.broadcast(
+        _gbcast(
             c.select(F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey"))
         ),
         F.col("o_custkey") == F.col("custkey"),

@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Weekly revenue autocorrelation (ACF lags 1..4)
@@ -287,7 +290,7 @@ def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .join(
-            F.broadcast(
+            _gbcast(
                 c.select(
                     F.col("c_custkey").alias("custkey"),
                     F.col("c_nationkey").alias("nationkey"),

@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 _DEC = "decimal(18,2)"
 
@@ -99,8 +102,8 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gbcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gbcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -162,8 +165,8 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = _rev() - F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_gbcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gbcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -280,7 +283,7 @@ def brand_size_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").between(1, 15))
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(_gbcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(branches)
         .agg(
             F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),

@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Entity resolution → golden record (survivorship)
@@ -285,8 +288,8 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
             "c_xy",
         )
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(_gbcast(u1), "w1")
+        .join(_gbcast(u2), "w2")
         .crossJoin(F.broadcast(utot))
         .crossJoin(F.broadcast(btot))
         .withColumn(
@@ -359,7 +362,7 @@ def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ns = _t(spark, sf_dir, "supplier").agg(F.count("*").cast("long").alias("n_supp"))
     cand = (
-        c.crossJoin(F.broadcast(ns))
+        c.crossJoin(_gbcast(ns))
         .select(
             F.col("c_custkey").alias("custkey"),
             F.explode(F.sequence(F.lit(1), F.lit(_NEG_DRAWS))).alias("draw"),

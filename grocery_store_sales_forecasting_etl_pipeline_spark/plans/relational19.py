@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 _DEC = "decimal(18,2)"
 
@@ -89,8 +92,8 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        best.join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        best.join(_gbcast(p), F.col("partkey") == F.col("p_partkey"))
+        .join(_gbcast(s), F.col("suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "partkey",
@@ -190,8 +193,8 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(deny), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_gbcast(deny), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(_gbcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -249,7 +252,7 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, F.col("o_orderkey") == F.col("big_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gbcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))

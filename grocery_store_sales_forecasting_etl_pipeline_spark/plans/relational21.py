@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 import grocery_store_sales_forecasting_etl_pipeline_spark.operators.dedup as dd
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Promotion revenue share (TPC-H Q14 shape)
@@ -73,7 +76,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(pt.select("p_partkey", "p_type")), li.l_partkey == pt.p_partkey)
+        .join(_gbcast(pt.select("p_partkey", "p_type")), li.l_partkey == pt.p_partkey)
         .select(
             (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
             .cast("long")

@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Spend-quartile migration matrix
@@ -87,7 +90,7 @@ def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .join(
-            F.broadcast(
+            _gbcast(
                 c.select(
                     F.col("c_custkey").alias("custkey"),
                     F.col("c_mktsegment").alias("segment"),

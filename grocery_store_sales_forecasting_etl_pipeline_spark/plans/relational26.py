@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Discount lift ladder
@@ -214,7 +217,7 @@ def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("basket_lines"))
     )
     dim = o.select("o_orderkey", "o_custkey").join(
-        F.broadcast(c.select("c_custkey", F.col("c_mktsegment").alias("segment"))),
+        _gbcast(c.select("c_custkey", F.col("c_mktsegment").alias("segment"))),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select("o_orderkey", "segment")
     b = counts.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import grocery_store_sales_forecasting_etl_pipeline_spark.operators.dedup as dd
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Dedup cluster representatives (keep the longest member)
@@ -172,7 +175,7 @@ def ratio_to_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = (
         o.select("o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gbcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("region", "nation")
         .agg(F.sum("cents").cast("long").alias("nation_cents"))
     )
@@ -368,7 +371,7 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "nation")
     sr = (
         li.select("l_suppkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
-        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gbcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", "l_suppkey")
         .agg(F.sum("c").cast("long").alias("cents"))
     )

@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Quarter-over-quarter growth per region
@@ -80,7 +83,7 @@ def region_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("o_orderdate") * 10 + F.quarter("o_orderdate")).cast("long").alias("yq"),
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gbcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("region", "yq")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
@@ -225,7 +228,7 @@ def brand_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = _t(spark, sf_dir, "part")
     cb = (
         li.select("l_orderkey", "l_partkey")
-        .join(F.broadcast(pt.select("p_partkey", F.col("p_brand").alias("brand"))),
+        .join(_gbcast(pt.select("p_partkey", F.col("p_brand").alias("brand"))),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("brand", "o_custkey")

@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Open-order backlog aging
@@ -126,7 +129,7 @@ def promo_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
     r = (
-        li.join(F.broadcast(pt.select("p_partkey", "p_type")), li.l_partkey == pt.p_partkey)
+        li.join(_gbcast(pt.select("p_partkey", "p_type")), li.l_partkey == pt.p_partkey)
         .select(
             F.when(F.col("p_type") == "PROMO", F.lit(1)).otherwise(F.lit(0)).alias("is_promo"),
             F.when(

@@ -30,6 +30,9 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import re
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
     value_cum_counts,
 )
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Mann-Whitney rank-sum: ship delay of returned vs kept line items
@@ -241,7 +244,7 @@ def acctbal_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("y")
         )
         .join(
-            F.broadcast(
+            _gbcast(
                 c.select(
                     "c_custkey",
                     F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # ABC revenue classification
@@ -425,7 +428,7 @@ def brand_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wk = (
         li.join(
-            F.broadcast(p.select("p_partkey", "p_brand")),
+            _gbcast(p.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(F.col("p_brand").alias("brand"), monday.alias("week_start"))

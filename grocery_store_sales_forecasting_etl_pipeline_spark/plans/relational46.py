@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Cohort LTV curve
@@ -101,7 +104,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = cohorts.groupBy("cw").agg(F.count("*").cast("long").alias("cohort_users"))
     purch = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(cohorts), "user_id")
+        .join(_gbcast(cohorts, source=e), "user_id")
         .groupBy(
             "cw",
             (F.datediff(monday(F.col("ts").cast("date")), F.col("cw")) / 7)
@@ -194,7 +197,7 @@ def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = (
         li.filter(F.year("l_shipdate").isin(1996, 1997))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gbcast(s.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("yr"))
         .agg(
@@ -295,7 +298,7 @@ def brand_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     py = (
         li.filter(F.year("l_shipdate").isin(1996, 1997))
-        .join(F.broadcast(p.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_gbcast(p.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("l_partkey").alias("partkey"),

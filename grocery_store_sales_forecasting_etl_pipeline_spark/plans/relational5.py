@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 _DEC = "decimal(18,2)"
 
@@ -174,7 +177,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_dec") == F.col("__max_dec"))
-        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(_gbcast(s), F.col("suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -217,7 +220,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.avg("l_quantity")).alias("__half_avg")
     )
     small = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(_gbcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(half_avg.withColumnRenamed("l_partkey", "__pk"), F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__half_avg"))
     )
@@ -294,7 +297,7 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole.join(_gbcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

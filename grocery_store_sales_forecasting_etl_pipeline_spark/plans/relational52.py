@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Tukey median polish (nation x quarter, 2 sweeps)
@@ -106,7 +109,7 @@ def median_polish_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     cells = (
-        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        li.join(_gbcast(s.select("s_suppkey", "s_nationkey")),
                 li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -217,7 +220,7 @@ def rolling_median_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     wd = (
-        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+        li.join(_gbcast(p.select("p_partkey", "p_brand")),
                 li.l_partkey == F.col("p_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),

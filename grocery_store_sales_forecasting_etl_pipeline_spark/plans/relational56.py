@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # TF-IDF cosine document pairs (df-capped sparse vectors)
@@ -127,8 +130,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nrm.select(F.col("doc_id").alias("id_1"), F.col("nm").alias("nm1"))
     n2 = nrm.select(F.col("doc_id").alias("id_2"), F.col("nm").alias("nm2"))
     scored = (
-        dots.join(F.broadcast(n1), "id_1")
-        .join(F.broadcast(n2), "id_2")
+        dots.join(_gbcast(n1), "id_1")
+        .join(_gbcast(n2), "id_2")
         .select(
             "id_1",
             "id_2",

@@ -28,6 +28,9 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import re
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
     value_cum_counts,
 )
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Time-weighted average value per user (step-function integral)
@@ -359,7 +362,7 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     bs = (
-        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+        li.join(_gbcast(p.select("p_partkey", "p_brand")),
                 li.l_partkey == F.col("p_partkey"))
         .groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.collect_set("p_brand").alias("bs"))

@@ -26,6 +26,9 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import re
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.scalerank import (
     ranked_points, value_cum_counts,
 )
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Weighted median price per brand
@@ -86,7 +89,7 @@ def brand_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     d38 = "decimal(38,0)"
     x = li.join(
-        F.broadcast(p.select("p_partkey", "p_brand")),
+        _gbcast(p.select("p_partkey", "p_brand")),
         li.l_partkey == F.col("p_partkey"),
     ).select(
         F.col("p_brand").alias("brand"),

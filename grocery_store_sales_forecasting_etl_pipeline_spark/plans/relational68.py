@@ -30,6 +30,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Kaplan-Meier life table: weeks from first to second order
@@ -375,7 +378,7 @@ def brand_return_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     b = (
         li.select("l_partkey", "l_returnflag")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_gbcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -510,7 +513,7 @@ def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     wk = (
         li.select("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_gbcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_trunc("week", "l_shipdate").cast("date").alias("week"),

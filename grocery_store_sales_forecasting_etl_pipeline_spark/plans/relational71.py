@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Haar wavelet energy decomposition of weekly revenue
@@ -490,7 +493,7 @@ def weekly_brand_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     wk = (
         li.select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_gbcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_trunc("week", "l_shipdate").cast("date").alias("week"),

@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Log-rank test: BUILDING vs other segments' repeat-purchase survival
@@ -144,7 +147,7 @@ def repeat_purchase_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon = o.agg(F.max("d").alias("dmax"))
     seg = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     subj = (
-        per.join(F.broadcast(seg), F.col("cust") == F.col("c_custkey"))
+        per.join(_gbcast(seg), F.col("cust") == F.col("c_custkey"))
         .crossJoin(F.broadcast(horizon))
         .select(
             F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g"),
@@ -414,7 +417,7 @@ def nation_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     dec = "decimal(38,0)"
     per = (
         li.select("l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gbcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp")
         )

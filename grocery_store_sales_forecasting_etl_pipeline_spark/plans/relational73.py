@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Difference-in-differences: BUILDING order value across the median split
@@ -116,7 +119,7 @@ def segment_value_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .join(
-            F.broadcast(
+            _gbcast(
                 _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
             ),
             F.col("o_custkey") == F.col("c_custkey"),

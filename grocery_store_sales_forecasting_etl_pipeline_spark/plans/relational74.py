@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Bass diffusion fit to weekly new-customer adoption
@@ -308,7 +311,7 @@ def segment_price_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     x = (
         o.select("o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gbcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
     )
     v = x.groupBy("cents").agg(

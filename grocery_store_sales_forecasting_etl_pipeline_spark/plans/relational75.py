@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Granger test: daily clicks -> next-day purchases
@@ -434,7 +437,7 @@ def part_price_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn = (
         li.filter(F.col("l_quantity") > 0)
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gbcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("part"), F.col("s_nationkey").alias("nation"))
         .agg(
             F.sum(

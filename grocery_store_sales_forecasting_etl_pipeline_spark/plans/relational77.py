@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Exact two-sample energy distance: BUILDING vs FURNITURE order values
@@ -122,7 +125,7 @@ def segment_value_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     dec = "decimal(38,0)"
     x = (
         o.select("o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gbcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_mktsegment").isin("BUILDING", "FURNITURE"))
     )
     v = x.groupBy("cents").agg(

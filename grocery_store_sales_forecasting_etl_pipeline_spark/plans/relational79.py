@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Order-to-ship SLA percentiles per priority
@@ -426,7 +429,7 @@ def priority_segment_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     t = (
         o.select("o_custkey", "o_orderpriority")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gbcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("o_orderpriority").alias("prio"),
             F.col("c_mktsegment").alias("seg"),

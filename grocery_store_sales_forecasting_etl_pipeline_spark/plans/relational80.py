@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # shared weekly floor-dollar frame (the relational15 idiom: exact cents
 # sums, then integer division — Spark DIV == DuckDB // on non-negatives)
@@ -325,7 +328,7 @@ def segment_brand_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_gbcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("p_brand").alias("brand"))
         .agg(F.count("*").cast("long").alias("n"))
         .localCheckpoint(eager=False)

@@ -13,6 +13,9 @@ from grocery_store_sales_forecasting_etl_pipeline_spark.functions import text as
 from grocery_store_sales_forecasting_etl_pipeline_spark.operators import dedup as dd
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans._tables import table as _t
 from grocery_store_sales_forecasting_etl_pipeline_spark.plans.registry import register
+from grocery_store_sales_forecasting_etl_pipeline_spark.operators.sizing import (
+    gated_broadcast as _gbcast,
+)
 
 # ---------------------------------------------------------------------------
 # Token / length statistics + fingerprint
@@ -876,7 +879,7 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         grams.filter(F.col("doc_id") % _DECON_MOD != 0)
-        .join(F.broadcast(bench), "gram")
+        .join(_gbcast(bench), "gram")
         .groupBy("doc_id", "n_grams")
         .agg(F.count("*").cast("long").alias("n_hit_grams"))
     )
