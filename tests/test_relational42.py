@@ -123,3 +123,16 @@ def test_shrinkage_pools_toward_prior_mean(spark):
         # (never past it), proportionally more for small samples
         lo, hi = sorted((raw, m))
         assert lo - 1e-9 <= shrunk <= hi + 1e-9
+
+
+def test_rrf_trigram_grams_built_once_in_plan(spark):
+    """r12 regression guard: the trigram gram-array build must appear in
+    exactly ONE operator of the physical plan. The pre-r12 shape paid it
+    twice — the inline transform was re-inlined into the scan filter by
+    predicate pushdown (n_shared > 0 filtered BEFORE the rank window),
+    doubling the per-row gram work (solo A/B 5.2s -> 2.0s at sf0.1)."""
+    df = plans.REGISTRY["hybrid_rrf_search"].build(spark, SF)
+    txt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert txt.count("transform(") == 1
